@@ -1,0 +1,69 @@
+"""graph_tpu — a TPU-native graph-analytics framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the
+``neo4j-labs/graph`` Rust workspace (graph_builder + graph + graph_app +
+graph_server + graph_mate).  Graphs are pytrees of device arrays (CSR),
+algorithms are jitted pure functions, parallelism is expressed as
+shardings over a :class:`jax.sharding.Mesh` instead of threads/atomics.
+
+Layer map (mirrors reference crates, see SURVEY.md):
+
+* :mod:`graph_tpu.graph`    — CSR storage + device-side construction
+  (reference: crates/builder/src/graph/csr.rs)
+* :mod:`graph_tpu.io`       — edge-list / graph500 / .graph / binary inputs
+  (reference: crates/builder/src/input/)
+* :mod:`graph_tpu.algos`    — PageRank, WCC, SSSP, triangle count
+  (reference: crates/algos/src/)
+* :mod:`graph_tpu.parallel` — multi-chip shardings (no reference analog;
+  the reference is single-process shared-memory only)
+* :mod:`graph_tpu.api`      — ``Graph`` / ``DiGraph`` user API
+  (reference: crates/mate/)
+* :mod:`graph_tpu.server`   — Arrow Flight service
+  (reference: crates/server/)
+"""
+
+from graph_tpu.errors import GraphError, InvalidIdType, InvalidNodeValues
+from graph_tpu.graph.csr import (
+    Csr,
+    CsrLayout,
+    DirectedCsrGraph,
+    UndirectedCsrGraph,
+)
+from graph_tpu.graph.build import (
+    build_directed,
+    build_undirected,
+    csr_from_coo,
+)
+from graph_tpu.builder import GraphBuilder
+from graph_tpu.algos import (
+    DeltaSteppingConfig,
+    PageRankConfig,
+    WccConfig,
+    delta_stepping,
+    global_triangle_count,
+    page_rank,
+    wcc,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Csr",
+    "CsrLayout",
+    "DirectedCsrGraph",
+    "UndirectedCsrGraph",
+    "GraphBuilder",
+    "GraphError",
+    "InvalidIdType",
+    "InvalidNodeValues",
+    "build_directed",
+    "build_undirected",
+    "csr_from_coo",
+    "PageRankConfig",
+    "WccConfig",
+    "DeltaSteppingConfig",
+    "page_rank",
+    "wcc",
+    "delta_stepping",
+    "global_triangle_count",
+]

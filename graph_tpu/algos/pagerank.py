@@ -1,0 +1,183 @@
+"""PageRank as a jitted pull-mode SpMV iteration.
+
+Reference analog: ``page_rank`` (crates/algos/src/page_rank.rs:58-168):
+chunk-claiming thread pool (CHUNK_SIZE=16384) where each node pulls
+``out_scores`` from its in-neighbors; L1-delta convergence; defaults
+max_iterations=20, tolerance=1e-4, damping=0.85 (page_rank.rs:45-47).
+
+TPU-first redesign:
+
+* the per-node gather loop becomes one blocked gather + segment-sum over
+  the in-CSR (``y = base + d * Aᵀ·(x / outdeg)``),
+* the iteration is a ``lax.while_loop`` with a device-resident L1
+  residual — no host sync per iteration (the reference syncs to log each
+  iteration, page_rank.rs:98-103),
+* scheduling note: the reference updates ``out_scores`` in place, so its
+  single-chunk (< 16384 nodes) behavior is *sequential Gauss-Seidel* and
+  its large-graph behavior is racy chunk-level Gauss-Seidel.  The TPU
+  kernel is strict Jacobi (deterministic, parallel).  Converged results
+  agree within the tolerance; fixed-iteration snapshots differ — tests
+  validate against a sequential-GS host model
+  (:func:`page_rank_reference`) that reproduces the reference bit-exactly
+  for < 16384-node graphs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graph_tpu.graph.csr import DirectedCsrGraph
+from graph_tpu.ops.segment import segment_sum_sorted
+
+
+@dataclasses.dataclass(frozen=True)
+class PageRankConfig:
+    """Reference analog: ``PageRankConfig`` (page_rank.rs:17-56)."""
+
+    max_iterations: int = 20
+    tolerance: float = 1e-4
+    damping_factor: float = 0.85
+
+    DEFAULT_MAX_ITERATIONS = 20
+    DEFAULT_TOLERANCE = 1e-4
+    DEFAULT_DAMPING_FACTOR = 0.85
+
+
+@dataclasses.dataclass(frozen=True)
+class PageRankResult:
+    """Reference analog: ``(Vec<f32>, usize, f64)`` + mate's
+    ``PageRankResult`` (crates/mate/src/page_rank.rs:42-74)."""
+
+    scores: jax.Array  # (n,) f32, device
+    ran_iterations: int
+    error: float
+    micros: int
+
+    def scores_np(self) -> np.ndarray:
+        return np.asarray(self.scores)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iterations",))
+def _page_rank_device(
+    in_sources: jax.Array,  # (m,) row (dst) id per in-edge, ascending
+    in_targets: jax.Array,  # (m,) src id per in-edge
+    out_degrees: jax.Array,  # (n,) int
+    *,
+    max_iterations: int,
+    tolerance: jax.Array,  # f32 scalar
+    damping_factor: jax.Array,  # f32 scalar
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    n = out_degrees.shape[0]
+    nf = jnp.float32(n)
+    init_score = 1.0 / nf
+    base_score = (1.0 - damping_factor) / nf
+    outdeg = out_degrees.astype(jnp.float32)
+    # Nodes without out-edges never appear as in-neighbors, so their
+    # out_score is never gathered; 0 keeps the arithmetic finite
+    # (reference writes inf via division by zero, page_rank.rs:75-79).
+    inv_outdeg = jnp.where(outdeg > 0, 1.0 / jnp.maximum(outdeg, 1.0), 0.0)
+
+    scores0 = jnp.full((n,), init_score, dtype=jnp.float32)
+    out_scores0 = scores0 * inv_outdeg
+
+    def cond(state):
+        _, _, it, err = state
+        return (it < max_iterations) & (err >= tolerance)
+
+    def body(state):
+        scores, out_scores, it, _ = state
+        contrib = out_scores[in_targets]
+        sums = segment_sum_sorted(contrib, in_sources, n)
+        new_scores = base_score + damping_factor * sums
+        err = jnp.sum(jnp.abs(new_scores - scores))
+        return new_scores, new_scores * inv_outdeg, it + 1, err
+
+    scores, _, iters, err = jax.lax.while_loop(
+        cond, body, (scores0, out_scores0, jnp.int32(0), jnp.float32(jnp.inf))
+    )
+    return scores, iters, err
+
+
+def page_rank(
+    graph: DirectedCsrGraph, config: Optional[PageRankConfig] = None
+) -> PageRankResult:
+    """Compute PageRank scores for a directed graph.
+
+    Returns scores, the number of iterations ran, and the final L1 error,
+    mirroring ``page_rank(&g, PageRankConfig) -> (Vec<f32>, usize, f64)``
+    (page_rank.rs:58).
+    """
+    config = config or PageRankConfig()
+    start = time.perf_counter()
+    scores, iters, err = _page_rank_device(
+        graph.csr_in.sources,
+        graph.csr_in.targets,
+        graph.out_degrees(),
+        max_iterations=int(config.max_iterations),
+        tolerance=jnp.float32(config.tolerance),
+        damping_factor=jnp.float32(config.damping_factor),
+    )
+    scores.block_until_ready()
+    micros = int((time.perf_counter() - start) * 1e6)
+    return PageRankResult(
+        scores=scores,
+        ran_iterations=int(iters),
+        error=float(err),
+        micros=micros,
+    )
+
+
+def page_rank_reference(
+    out_neighbors_by_node,
+    node_count: int,
+    config: Optional[PageRankConfig] = None,
+) -> Tuple[np.ndarray, int, float]:
+    """Host model of the reference's exact schedule, for test parity.
+
+    For graphs below the reference's CHUNK_SIZE (16384 nodes) the Rust
+    implementation degenerates to a deterministic *sequential
+    Gauss-Seidel* sweep in node order (one chunk, in-place ``out_scores``
+    updates, page_rank.rs:127-165).  This numpy model reproduces its
+    pinned golden floats exactly (verified against README.md:100-148)
+    and supplies expected values for arbitrary small test graphs.
+    """
+    config = config or PageRankConfig()
+    n = node_count
+    in_nbrs = [[] for _ in range(n)]
+    out_deg = np.zeros(n, dtype=np.int64)
+    for u, nbrs in enumerate(out_neighbors_by_node):
+        for v in nbrs:
+            out_deg[u] += 1
+            in_nbrs[v].append(u)
+
+    d = np.float32(config.damping_factor)
+    base = (np.float32(1.0) - d) / np.float32(n)
+    init = np.float32(1.0) / np.float32(n)
+    scores = np.full(n, init, dtype=np.float32)
+    with np.errstate(divide="ignore"):
+        out_scores = np.where(
+            out_deg > 0, init / out_deg.astype(np.float32), np.float32(np.inf)
+        ).astype(np.float32)
+
+    iteration = 0
+    while True:
+        err = 0.0
+        for u in range(n):
+            s = np.float32(0.0)
+            for v in in_nbrs[u]:
+                s += out_scores[v]
+            new = base + d * s
+            err += abs(float(new) - float(scores[u]))
+            scores[u] = new
+            if out_deg[u] > 0:
+                out_scores[u] = new / np.float32(out_deg[u])
+        iteration += 1
+        if err < config.tolerance or iteration == config.max_iterations:
+            return scores, iteration, err

@@ -1,0 +1,139 @@
+"""Single-source shortest paths: delta-stepping with dense bucket masks.
+
+Reference analog: ``delta_stepping`` (crates/algos/src/sssp.rs:38-204):
+AtomicF32 distances relaxed via CAS-min, a shared frontier claimed in
+64-node batches, and per-thread distance-bucket bins.
+
+TPU-first redesign — work lists become boolean masks over nodes:
+
+* ``dist``    — f32 distances (unreached = f32::MAX, like sssp.rs:12),
+* ``pending`` — nodes whose distance improved since they were last
+  relaxed (the union of all thread-local bins),
+* outer ``while_loop`` walks buckets in ascending order: the next bucket
+  is the min ``floor(dist/delta)`` over pending nodes (reference:
+  ``min_non_empty_bin``, sssp.rs:159-168),
+* inner ``while_loop`` settles the current bucket: relax every out-edge
+  of the frontier via one gather + segment-min over the in-CSR (replaces
+  the CAS-min loop, sssp.rs:184-202) and re-activate improved nodes.
+
+Both versions compute exact shortest-path distances: every final value
+is a sum of edge weights accumulated in path order, so results are
+bit-identical to the reference (golden ``[0, 4, 2, 9, 5, 20]``,
+sssp.rs:283-313).  Dense masks trade wasted edge work on small frontiers
+for zero host round-trips — SURVEY.md §7 "hard parts" #2 tracks the
+frontier-compaction follow-up.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graph_tpu.graph.csr import DirectedCsrGraph
+from graph_tpu.ops.segment import segment_min_sorted
+
+INF = np.float32(np.finfo(np.float32).max)  # f32::MAX, sssp.rs:12
+_NO_BIN = np.int32(np.iinfo(np.int32).max)
+
+
+@dataclasses.dataclass(frozen=True)
+class DeltaSteppingConfig:
+    """Reference analog: ``DeltaSteppingConfig`` (sssp.rs:21-36)."""
+
+    start_node: int
+    delta: float
+
+
+@dataclasses.dataclass(frozen=True)
+class SsspResult:
+    distances: jax.Array  # (n,) f32; unreached = f32::MAX
+    micros: int
+
+    def distances_np(self) -> np.ndarray:
+        return np.asarray(self.distances)
+
+
+@jax.jit
+def _delta_stepping_device(
+    in_sources: jax.Array,  # (m,) dst row ids, ascending
+    in_targets: jax.Array,  # (m,) src per in-edge
+    in_weights: jax.Array,  # (m,) f32
+    start_node: jax.Array,  # i32 scalar
+    delta: jax.Array,  # f32 scalar
+    n_arr: jax.Array,  # shape carrier (n,)
+) -> jax.Array:
+    n = n_arr.shape[0]
+    dist0 = jnp.full((n,), INF, dtype=jnp.float32).at[start_node].set(0.0)
+    pending0 = jnp.zeros((n,), dtype=bool).at[start_node].set(True)
+
+    def bucket_of(dist):
+        # floor(dist/delta); unreached maps to a huge bucket.
+        # Clamp before the int cast: f32::MAX/delta overflows int32.
+        q = jnp.minimum(dist / delta, jnp.float32(2**31 - 128))
+        return jnp.where(dist < INF, q.astype(jnp.int32), _NO_BIN)
+
+    def relax(dist, frontier):
+        """One synchronous relaxation of all out-edges of ``frontier``."""
+        src_active = frontier[in_targets]
+        cand = jnp.where(src_active, dist[in_targets] + in_weights, INF)
+        best = segment_min_sorted(cand, in_sources, n)
+        new_dist = jnp.minimum(dist, best)
+        improved = new_dist < dist
+        return new_dist, improved
+
+    def inner_cond(state):
+        dist, pending, curr_bin = state
+        return jnp.any(pending & (bucket_of(dist) == curr_bin))
+
+    def inner_body(state):
+        dist, pending, curr_bin = state
+        frontier = pending & (bucket_of(dist) == curr_bin)
+        pending = pending & ~frontier
+        dist, improved = relax(dist, frontier)
+        return dist, pending | improved, curr_bin
+
+    def outer_cond(state):
+        _, _, curr_bin = state
+        return curr_bin != _NO_BIN
+
+    def outer_body(state):
+        dist, pending, curr_bin = state
+        dist, pending, _ = jax.lax.while_loop(
+            inner_cond, inner_body, (dist, pending, curr_bin)
+        )
+        next_bin = jnp.min(jnp.where(pending, bucket_of(dist), _NO_BIN))
+        return dist, pending, next_bin
+
+    dist, _, _ = jax.lax.while_loop(
+        outer_cond, outer_body, (dist0, pending0, jnp.int32(0))
+    )
+    return dist
+
+
+def delta_stepping(
+    graph: DirectedCsrGraph, config: DeltaSteppingConfig
+) -> SsspResult:
+    """Compute SSSP distances from ``config.start_node``.
+
+    Mirrors ``delta_stepping(&g, DeltaSteppingConfig) -> Vec<AtomicF32>``
+    (sssp.rs:38).  Requires an edge-weighted directed graph.
+    """
+    if graph.csr_in.values is None:
+        raise ValueError("delta_stepping requires edge weights (values)")
+    start = time.perf_counter()
+    dist = _delta_stepping_device(
+        graph.csr_in.sources,
+        graph.csr_in.targets,
+        graph.csr_in.values.astype(jnp.float32),
+        jnp.int32(config.start_node),
+        jnp.float32(config.delta),
+        jnp.zeros((graph.node_count,), dtype=jnp.int8),
+    )
+    dist.block_until_ready()
+    micros = int((time.perf_counter() - start) * 1e6)
+    return SsspResult(distances=dist, micros=micros)

@@ -1,0 +1,68 @@
+"""Segment reductions over sorted edge arrays.
+
+These are the TPU replacements for the reference's lock-free atomics:
+atomic fetch_add degree counting (csr.rs:154-172), CAS-min distance
+relaxation (sssp.rs:184-202) and CAS union (dss.rs:148-150) all become
+segment reductions over row-sorted edge arrays.
+
+Two interchangeable implementations of the segment sum:
+
+* ``scatter`` — ``jax.ops.segment_sum`` (XLA scatter-add).  Exact per-row
+  summation order, deterministic.
+* ``cumsum`` — prefix-sum + offset-difference trick.  Fully dense ops
+  (fast on TPU) but subtracts nearly-equal partial sums, so it loses
+  precision on long streams; kept for benchmarking, not the default.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def segment_sum_sorted(
+    data: jax.Array, segment_ids: jax.Array, num_segments: int
+) -> jax.Array:
+    """Sum ``data`` into ``num_segments`` buckets; ids must be ascending."""
+    return jax.ops.segment_sum(
+        data,
+        segment_ids,
+        num_segments=num_segments,
+        indices_are_sorted=True,
+    )
+
+
+def segment_sum_cumsum(
+    data: jax.Array, offsets: jax.Array
+) -> jax.Array:
+    """Segment sum via cumulative sum and offset differences.
+
+    ``offsets`` is the CSR offsets array (n+1).  All-dense alternative to
+    scatter-add; see module docstring for the precision caveat.
+    """
+    c = jnp.cumsum(data, dtype=jnp.float32)
+    c = jnp.concatenate([jnp.zeros((1,), dtype=c.dtype), c])
+    return c[offsets[1:]] - c[offsets[:-1]]
+
+
+def segment_min_sorted(
+    data: jax.Array, segment_ids: jax.Array, num_segments: int
+) -> jax.Array:
+    """Min-reduce ``data`` per segment; empty segments get +inf/max."""
+    return jax.ops.segment_min(
+        data,
+        segment_ids,
+        num_segments=num_segments,
+        indices_are_sorted=True,
+    )
+
+
+def segment_max_sorted(
+    data: jax.Array, segment_ids: jax.Array, num_segments: int
+) -> jax.Array:
+    return jax.ops.segment_max(
+        data,
+        segment_ids,
+        num_segments=num_segments,
+        indices_are_sorted=True,
+    )

@@ -1,0 +1,135 @@
+"""CSR construction tests.
+
+Reference analogs: csr.rs inline tests (csr.rs:969-1255) — layout
+handling, dedup + self-loop removal, offsets correctness — and the
+builder integration matrix (crates/builder/tests/builder.rs).
+"""
+
+import numpy as np
+import pytest
+
+from graph_tpu import (
+    CsrLayout,
+    GraphBuilder,
+    build_directed,
+    build_undirected,
+)
+
+
+def nbrs(csr, u):
+    o = np.asarray(csr.offsets)
+    t = np.asarray(csr.targets)
+    return t[o[u] : o[u + 1]].tolist()
+
+
+def test_directed_unsorted_keeps_input_order():
+    # builder.rs doc-test analog (lib.rs:44-110)
+    g = GraphBuilder().edges([(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]).build_directed()
+    assert g.node_count == 4
+    assert g.edge_count == 5
+    assert nbrs(g.csr_out, 0) == [1, 2]
+    assert nbrs(g.csr_out, 1) == [2, 3]
+    assert nbrs(g.csr_in, 3) == [1, 2]
+    assert np.asarray(g.out_degrees()).tolist() == [2, 2, 1, 0]
+    assert np.asarray(g.in_degrees()).tolist() == [0, 1, 2, 2]
+
+
+def test_unsorted_preserves_per_row_input_order():
+    g = (
+        GraphBuilder()
+        .edges([(0, 3), (0, 1), (0, 2)])
+        .build_directed()
+    )
+    assert nbrs(g.csr_out, 0) == [3, 1, 2]
+
+
+def test_sorted_layout():
+    g = (
+        GraphBuilder()
+        .csr_layout(CsrLayout.SORTED)
+        .edges([(0, 3), (0, 1), (0, 2), (0, 1)])
+        .build_directed()
+    )
+    assert nbrs(g.csr_out, 0) == [1, 1, 2, 3]
+    assert g.edge_count == 4
+
+
+def test_deduplicated_removes_dups_and_self_loops():
+    # csr.rs:897-948 semantics: sort, dedup, drop (u, u)
+    g = (
+        GraphBuilder()
+        .csr_layout(CsrLayout.DEDUPLICATED)
+        .edges([(0, 1), (0, 1), (0, 0), (0, 2), (1, 1)])
+        .build_directed()
+    )
+    assert nbrs(g.csr_out, 0) == [1, 2]
+    assert nbrs(g.csr_out, 1) == []
+    assert g.edge_count == 2
+
+
+def test_undirected_both_directions_and_edge_count():
+    g = build_undirected([0, 1], [1, 2], node_count=3)
+    assert g.edge_count == 2  # csr.rs:687-689: targets/2
+    assert g.csr.edge_count == 4
+    assert sorted(nbrs(g.csr, 1)) == [0, 2]
+
+
+def test_undirected_dedup_self_loop():
+    g = build_undirected(
+        [0, 1, 2], [1, 2, 2], node_count=3, layout=CsrLayout.DEDUPLICATED
+    )
+    # self loop (2,2) fully removed; remaining 2 undirected edges
+    assert g.edge_count == 2
+    assert sorted(nbrs(g.csr, 2)) == [1]
+
+
+def test_weighted_values_follow_sort():
+    g = (
+        GraphBuilder()
+        .csr_layout(CsrLayout.SORTED)
+        .edges_with_values([(0, 2, 0.2), (0, 1, 0.1), (1, 0, 1.0)])
+        .build_directed()
+    )
+    o = np.asarray(g.csr_out.offsets)
+    v = np.asarray(g.csr_out.values)
+    t = np.asarray(g.csr_out.targets)
+    assert t[o[0] : o[1]].tolist() == [1, 2]
+    assert v[o[0] : o[1]].tolist() == pytest.approx([0.1, 0.2])
+    # in-CSR carries the same weights, re-sorted by destination
+    vi = np.asarray(g.csr_in.values)
+    oi = np.asarray(g.csr_in.offsets)
+    assert vi[oi[1] : oi[2]].tolist() == pytest.approx([0.1])
+
+
+def test_node_count_inference_is_max_id_plus_one():
+    g = build_directed([0], [7])
+    assert g.node_count == 8  # edgelist.rs:84-90 analog
+
+
+def test_empty_graph():
+    g = GraphBuilder().edges([]).node_count(3).build_directed()
+    assert g.node_count == 3
+    assert g.edge_count == 0
+    assert np.asarray(g.out_degrees()).tolist() == [0, 0, 0]
+
+
+def test_sources_matches_offsets():
+    g = build_directed([2, 0, 1, 0], [0, 1, 2, 2])
+    s = np.asarray(g.csr_out.sources)
+    o = np.asarray(g.csr_out.offsets)
+    expected = np.repeat(np.arange(3), np.diff(o))
+    assert np.array_equal(s, expected)
+
+
+def test_id_dtype_int64_requires_x64():
+    # int64 ids need JAX 64-bit mode; without it the builder must refuse
+    # loudly instead of silently truncating (Idx-trait parity: the
+    # reference supports u64 ids, we gate them on x64).
+    with pytest.raises(TypeError, match="int64"):
+        GraphBuilder().id_dtype(np.int64).edges([(0, 1)]).build_directed()
+
+
+def test_isolated_tail_nodes_via_node_count():
+    g = GraphBuilder().edges([(0, 1)]).node_count(5).build_directed()
+    assert g.node_count == 5
+    assert np.asarray(g.out_degrees()).tolist() == [1, 0, 0, 0, 0]

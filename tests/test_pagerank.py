@@ -1,0 +1,115 @@
+"""PageRank correctness tests.
+
+Golden sources:
+* README wiki graph, 10 iterations, pinned floats (README.md:100-148,
+  algos/src/lib.rs:92-141) — reproduced bit-exactly by the host
+  reference model, and within tolerance at convergence by the device
+  kernel.
+* two-components GDL graph (page_rank.rs:175-197).
+"""
+
+import numpy as np
+import pytest
+
+from graph_tpu import GraphBuilder, PageRankConfig, page_rank
+from graph_tpu.algos.pagerank import page_rank_reference
+
+WIKI_EDGES = [
+    (1, 2), (2, 1), (4, 0), (4, 1), (5, 4), (5, 1), (5, 6), (6, 1),
+    (6, 5), (7, 1), (7, 5), (8, 1), (8, 5), (9, 1), (9, 5), (10, 1),
+    (10, 5), (11, 5), (12, 5),
+]
+
+WIKI_EXPECTED = np.array(
+    [
+        0.024064068, 0.3145448, 0.27890152, 0.01153846, 0.029471997,
+        0.06329483, 0.029471997, 0.01153846, 0.01153846, 0.01153846,
+        0.01153846, 0.01153846, 0.01153846,
+    ],
+    dtype=np.float32,
+)
+
+
+def wiki_graph():
+    return GraphBuilder().edges(WIKI_EDGES).build_directed()
+
+
+def test_reference_model_matches_pinned_goldens_exactly():
+    # Proves scheduling parity: the reference is sequential Gauss-Seidel
+    # for < 16384-node graphs; our host model reproduces it bit-exactly.
+    out_nbrs = [[] for _ in range(13)]
+    for s, t in WIKI_EDGES:
+        out_nbrs[s].append(t)
+    scores, iters, _ = page_rank_reference(
+        out_nbrs, 13, PageRankConfig(max_iterations=10)
+    )
+    assert iters == 10
+    assert np.array_equal(scores, WIKI_EXPECTED)
+
+
+def test_device_pagerank_converges_to_reference():
+    g = wiki_graph()
+    # Converged (not iteration-snapshotted) ranks agree within tolerance.
+    res = page_rank(g, PageRankConfig(max_iterations=200, tolerance=1e-6))
+    out_nbrs = [[] for _ in range(13)]
+    for s, t in WIKI_EDGES:
+        out_nbrs[s].append(t)
+    ref, _, _ = page_rank_reference(
+        out_nbrs, 13, PageRankConfig(max_iterations=200, tolerance=1e-6)
+    )
+    np.testing.assert_allclose(res.scores_np(), ref, atol=1e-4)
+    assert res.error < 1e-6
+
+
+def test_scores_sum_below_one_with_dangling():
+    g = wiki_graph()
+    res = page_rank(g)
+    s = res.scores_np()
+    assert (s > 0).all()
+    assert s.sum() <= 1.0 + 1e-5
+
+
+def test_two_components_converged():
+    g = GraphBuilder().gdl("(a)-->()-->()<--(a),(b)-->()-->()<--(b)").build_directed()
+    res = page_rank(g, PageRankConfig(max_iterations=300, tolerance=1e-7))
+    s = res.scores_np()
+    # symmetric components must produce identical scores
+    np.testing.assert_allclose(s[:3], s[3:], rtol=0, atol=0)
+
+
+def test_max_iterations_respected():
+    g = wiki_graph()
+    res = page_rank(g, PageRankConfig(max_iterations=1))
+    assert res.ran_iterations == 1
+    assert res.micros > 0
+
+
+def test_tolerance_stops_early():
+    # L1 delta per iteration is bounded by 2, so tolerance=3 must stop
+    # after the first iteration (reference semantics: check after each
+    # iteration, page_rank.rs:107).
+    g = wiki_graph()
+    res = page_rank(g, PageRankConfig(max_iterations=50, tolerance=3.0))
+    assert res.ran_iterations == 1
+
+
+def test_zero_damping_uniform():
+    # mate test analog: damping_factor=0 → scores = 1/n after 1 iteration
+    g = wiki_graph()
+    res = page_rank(g, PageRankConfig(damping_factor=0.0))
+    assert res.ran_iterations == 1
+    np.testing.assert_allclose(res.scores_np(), np.full(13, 1 / 13, np.float32))
+
+
+def test_pagerank_scale8(scale8_path):
+    from graph_tpu.io.graph500 import read_graph500
+
+    src, dst, n = read_graph500(scale8_path)
+    g = GraphBuilder().node_count(n).coo(src, dst).build_directed()
+    assert g.node_count == 256
+    assert g.edge_count == 4096
+    res = page_rank(g)
+    s = res.scores_np()
+    assert len(s) == 256
+    assert (s > 0).all()
+    assert res.ran_iterations >= 1

@@ -1,0 +1,98 @@
+"""Delta-stepping SSSP tests (reference: sssp.rs:283-313 golden)."""
+
+import numpy as np
+
+from graph_tpu import DeltaSteppingConfig, GraphBuilder, delta_stepping
+from graph_tpu.algos.sssp import INF
+
+
+def golden_graph():
+    gdl = """(a:A)
+             (b:B)
+             (c:C)
+             (d:D)
+             (e:E)
+             (f:F)
+             (a)-[{cost:  4.0 }]->(b)
+             (a)-[{cost:  2.0 }]->(c)
+             (b)-[{cost:  5.0 }]->(c)
+             (b)-[{cost: 10.0 }]->(d)
+             (c)-[{cost:  3.0 }]->(e)
+             (d)-[{cost: 11.0 }]->(f)
+             (e)-[{cost:  4.0 }]->(d)"""
+    from graph_tpu.graph.csr import CsrLayout
+
+    return (
+        GraphBuilder().csr_layout(CsrLayout.DEDUPLICATED).gdl(gdl).build_directed()
+    )
+
+
+def test_sssp_golden():
+    g = golden_graph()
+    res = delta_stepping(g, DeltaSteppingConfig(start_node=0, delta=3.0))
+    expected = np.array([0.0, 4.0, 2.0, 9.0, 5.0, 20.0], dtype=np.float32)
+    assert np.array_equal(res.distances_np(), expected)
+
+
+def test_sssp_delta_invariance():
+    g = golden_graph()
+    for delta in (0.5, 1.0, 7.0, 100.0):
+        res = delta_stepping(g, DeltaSteppingConfig(start_node=0, delta=delta))
+        expected = np.array([0.0, 4.0, 2.0, 9.0, 5.0, 20.0], dtype=np.float32)
+        assert np.array_equal(res.distances_np(), expected), delta
+
+
+def test_sssp_unreachable_is_f32_max():
+    g = (
+        GraphBuilder()
+        .edges_with_values([(0, 1, 1.0)])
+        .node_count(3)
+        .build_directed()
+    )
+    res = delta_stepping(g, DeltaSteppingConfig(start_node=0, delta=1.0))
+    d = res.distances_np()
+    assert d[0] == 0.0 and d[1] == 1.0
+    assert d[2] == INF  # f32::MAX, sssp.rs:12
+
+
+def test_sssp_other_start():
+    g = golden_graph()
+    res = delta_stepping(g, DeltaSteppingConfig(start_node=1, delta=3.0))
+    d = res.distances_np()
+    assert d[1] == 0.0
+    assert d[2] == 5.0
+    assert d[4] == 8.0
+    assert d[3] == 10.0  # direct b->d beats b->c->e->d (5+3+4=12)
+    assert d[0] == INF
+
+
+def test_sssp_random_vs_dijkstra():
+    rng = np.random.default_rng(42)
+    n, m = 200, 1200
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    w = rng.uniform(0.1, 5.0, m).astype(np.float32)
+    g = GraphBuilder().coo(src, dst, w).node_count(n).build_directed()
+    res = delta_stepping(g, DeltaSteppingConfig(start_node=0, delta=2.0))
+
+    # host Dijkstra
+    import heapq
+
+    adj = [[] for _ in range(n)]
+    for s, t, ww in zip(src, dst, w):
+        adj[int(s)].append((int(t), np.float32(ww)))
+    dist = np.full(n, np.inf)
+    dist[0] = 0.0
+    pq = [(0.0, 0)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist[u]:
+            continue
+        for v, ww in adj[u]:
+            nd = d + float(ww)
+            if nd < dist[v]:
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    ours = res.distances_np().astype(np.float64)
+    ours[ours == float(INF)] = np.inf
+    np.testing.assert_allclose(ours, dist, rtol=1e-5)
