@@ -45,6 +45,31 @@ def segment_sum_cumsum(
     return c[offsets[1:]] - c[offsets[:-1]]
 
 
+def segment_sum_fixedpoint(
+    data: jax.Array, offsets: jax.Array, *, bound: float = 1.0, bits: int = 30
+) -> jax.Array:
+    """Exact-to-quantization segment sum via int32 prefix sums.
+
+    TPU rationale: XLA lowers 1-D scatter-add (``segment_sum``) to scalar
+    code (~7ns/element measured on v5e) while dense cumsum is fully
+    vectorized (>100x faster).  A float cumsum-difference loses precision
+    catastrophically (subtracting nearly equal prefix magnitudes), so the
+    data is quantized to fixed point: int32 cumsum wraps modulo 2^32, and
+    prefix *differences* are exact in modular arithmetic as long as every
+    true segment sum is below 2^31.
+
+    ``bound`` must upper-bound every segment sum; quantization error per
+    element is 2^-bits * bound (PageRank row sums are <= 1, so the
+    default keeps ~1e-9 absolute error per edge).
+    """
+    scale = jnp.float32(1 << bits) / jnp.float32(bound)
+    q = jnp.round(data * scale).astype(jnp.int32)
+    c = jnp.cumsum(q)
+    c = jnp.concatenate([jnp.zeros((1,), jnp.int32), c])
+    seg = c[offsets[1:]] - c[offsets[:-1]]
+    return seg.astype(jnp.float32) / scale
+
+
 def segment_min_sorted(
     data: jax.Array, segment_ids: jax.Array, num_segments: int
 ) -> jax.Array:

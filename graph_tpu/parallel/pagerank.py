@@ -1,0 +1,169 @@
+"""Multi-chip PageRank: row-block sharded pull SpMV over a 1-D mesh.
+
+No reference analog — the reference is single-process shared-memory
+(SURVEY.md §5).  Design per SURVEY.md §7 phase 4:
+
+* the in-CSR is partitioned by destination row block; each chip owns
+  ``rows_per = ceil(n/P)`` rows and the in-edges pointing at them,
+  padded to the maximum per-shard edge count (static shapes),
+* each iteration all-gathers the ``out_scores`` vector over ICI (the
+  simple-correct halo strategy; ragged boundary all_to_all is the
+  round-2 optimization), computes the local block's gather + segment
+  sum, and psum-reduces the L1 residual so every chip sees the same
+  convergence scalar — the convergence loop never syncs to host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from graph_tpu.algos.pagerank import PageRankConfig, PageRankResult
+from graph_tpu.graph.csr import DirectedCsrGraph
+from graph_tpu.ops.segment import segment_sum_fixedpoint
+from graph_tpu.parallel.mesh import NODES_AXIS
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedPullGraph:
+    """Row-block sharded in-CSR for pull-mode iterations.
+
+    All arrays carry a leading shard dimension P and are placed with
+    ``PartitionSpec(axis)`` on that dimension.
+    """
+
+    in_targets: jax.Array  # (P, m_pad) source node per in-edge (global ids)
+    in_offsets: jax.Array  # (P, rows_per + 1) local CSR offsets
+    out_degrees: jax.Array  # (P, rows_per) per-block out-degrees
+    node_count: int  # true n (unpadded)
+    edge_count: int
+
+    @property
+    def num_shards(self) -> int:
+        return self.in_targets.shape[0]
+
+    @property
+    def rows_per_shard(self) -> int:
+        return self.out_degrees.shape[1]
+
+
+def shard_graph(graph: DirectedCsrGraph, mesh: Mesh, axis: str = NODES_AXIS) -> ShardedPullGraph:
+    """Partition a directed graph's in-CSR into row blocks on ``mesh``."""
+    P_ = mesh.shape[axis]
+    n = graph.node_count
+    rows_per = -(-n // P_)
+
+    offsets = np.asarray(graph.csr_in.offsets, dtype=np.int64)
+    targets = np.asarray(graph.csr_in.targets)
+    outdeg = np.asarray(graph.out_degrees())
+    outdeg = np.pad(outdeg, (0, rows_per * P_ - n))
+
+    # per-shard edge slices [offsets[p*rows_per], offsets[min((p+1)*rows_per, n)])
+    starts = [int(offsets[min(p * rows_per, n)]) for p in range(P_ + 1)]
+    m_pad = max(starts[p + 1] - starts[p] for p in range(P_)) if P_ else 0
+    m_pad = max(m_pad, 1)
+
+    tgt = np.zeros((P_, m_pad), dtype=targets.dtype)
+    off = np.zeros((P_, rows_per + 1), dtype=np.int32)
+    for p in range(P_):
+        lo, hi = starts[p], starts[p + 1]
+        tgt[p, : hi - lo] = targets[lo:hi]
+        row_lo = min(p * rows_per, n)
+        row_hi = min(p * rows_per + rows_per, n)
+        local = offsets[row_lo : row_hi + 1] - offsets[row_lo]
+        off[p, : row_hi - row_lo + 1] = local
+        off[p, row_hi - row_lo + 1 :] = local[-1] if len(local) else 0
+
+    shard = NamedSharding(mesh, P(axis))
+    return ShardedPullGraph(
+        in_targets=jax.device_put(jnp.asarray(tgt), shard),
+        in_offsets=jax.device_put(jnp.asarray(off), shard),
+        out_degrees=jax.device_put(jnp.asarray(outdeg.reshape(P_, rows_per)), shard),
+        node_count=n,
+        edge_count=graph.edge_count,
+    )
+
+
+def _pagerank_sharded_fn(mesh: Mesh, axis: str, max_iterations: int, n: int):
+    """Build the jitted sharded PageRank for a fixed mesh/shape config."""
+
+    def shard_fn(tgt, off, outdeg, tol, d):
+        # per-shard views: tgt (1, m_pad) -> (m_pad,), etc.
+        tgt = tgt[0]
+        off = off[0]
+        outdeg = outdeg[0].astype(jnp.float32)
+        rows_per = outdeg.shape[0]
+        nf = jnp.float32(n)
+        init = 1.0 / nf
+        base = (1.0 - d) / nf
+        inv_outdeg = jnp.where(outdeg > 0, 1.0 / jnp.maximum(outdeg, 1.0), 0.0)
+
+        # initial carry must be marked device-varying for the while_loop
+        scores0 = jax.lax.pvary(
+            jnp.full((rows_per,), init, dtype=jnp.float32), (axis,)
+        )
+        out0 = scores0 * inv_outdeg
+
+        def cond(state):
+            _, _, it, err = state
+            return (it < max_iterations) & (err >= tol)
+
+        def body(state):
+            scores, out_scores, it, _ = state
+            # halo exchange: full out_scores vector over ICI
+            full = jax.lax.all_gather(out_scores, axis, tiled=True)  # (n_pad,)
+            contrib = full[tgt]
+            sums = segment_sum_fixedpoint(contrib, off, bound=1.0)
+            new = base + d * sums
+            err = jax.lax.psum(jnp.sum(jnp.abs(new - scores)), axis)
+            return new, new * inv_outdeg, it + 1, err
+
+        scores, _, iters, err = jax.lax.while_loop(
+            cond, body, (scores0, out0, jnp.int32(0), jnp.float32(jnp.inf))
+        )
+        return scores[None], iters, err
+
+    mapped = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(), P()),
+        out_specs=(P(axis), P(), P()),
+    )
+    return jax.jit(mapped)
+
+
+def page_rank_sharded(
+    sg: ShardedPullGraph,
+    mesh: Mesh,
+    config: Optional[PageRankConfig] = None,
+    axis: str = NODES_AXIS,
+) -> PageRankResult:
+    """Run PageRank on a sharded graph; returns global scores (n,)."""
+    import time
+
+    config = config or PageRankConfig()
+    start = time.perf_counter()
+    fn = _pagerank_sharded_fn(mesh, axis, int(config.max_iterations), sg.node_count)
+    scores, iters, err = fn(
+        sg.in_targets,
+        sg.in_offsets,
+        sg.out_degrees,
+        jnp.float32(config.tolerance),
+        jnp.float32(config.damping_factor),
+    )
+    scores = scores.reshape(-1)[: sg.node_count]
+    scores.block_until_ready()
+    micros = int((time.perf_counter() - start) * 1e6)
+    return PageRankResult(
+        scores=scores,
+        ran_iterations=int(iters),
+        error=float(err),
+        micros=micros,
+    )

@@ -1,0 +1,76 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh.
+
+This substitutes for the reference's thread+barrier concurrency tests
+(SURVEY.md §4): sharded results must match single-device results.
+"""
+
+import numpy as np
+import pytest
+
+from graph_tpu import GraphBuilder, PageRankConfig, page_rank, wcc
+from graph_tpu.generate import uniform_edge_list
+from graph_tpu.graph.build import build_directed
+from graph_tpu.parallel.mesh import make_mesh
+from graph_tpu.parallel.pagerank import page_rank_sharded, shard_graph
+from graph_tpu.parallel.wcc import shard_hook_graph, wcc_sharded
+
+
+@pytest.fixture(scope="module")
+def graph():
+    src, dst = uniform_edge_list(500, 5000, seed=3)
+    return build_directed(src, dst, node_count=500)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8)
+
+
+def test_sharded_pagerank_matches_single(graph, mesh):
+    cfg = PageRankConfig(max_iterations=30, tolerance=1e-6)
+    single = page_rank(graph, cfg)
+    sg = shard_graph(graph, mesh)
+    sharded = page_rank_sharded(sg, mesh, cfg)
+    assert sharded.ran_iterations == single.ran_iterations
+    np.testing.assert_allclose(
+        sharded.scores_np(), single.scores_np(), atol=1e-6
+    )
+
+
+def test_sharded_pagerank_uneven_rows(mesh):
+    # n=501 not divisible by 8: padding path
+    src, dst = uniform_edge_list(501, 3000, seed=5)
+    g = build_directed(src, dst, node_count=501)
+    cfg = PageRankConfig(max_iterations=10, tolerance=0.0)
+    single = page_rank(g, cfg)
+    sharded = page_rank_sharded(shard_graph(g, mesh), mesh, cfg)
+    np.testing.assert_allclose(sharded.scores_np(), single.scores_np(), atol=1e-6)
+
+
+def test_sharded_wcc_matches_single(graph, mesh):
+    single = wcc(graph)
+    hg = shard_hook_graph(graph, mesh)
+    sharded = wcc_sharded(hg, mesh)
+    np.testing.assert_array_equal(
+        sharded.components_np(), single.components_np()
+    )
+
+
+def test_sharded_wcc_two_components(mesh):
+    g = GraphBuilder().edges([(0, 1), (2, 3)]).node_count(9).build_directed()
+    hg = shard_hook_graph(g, mesh)
+    res = wcc_sharded(hg, mesh)
+    c = res.components_np()
+    assert c[0] == c[1]
+    assert c[2] == c[3]
+    assert c[1] != c[2]
+
+
+def test_graft_entry_single_and_multi():
+    import __graft_entry__ as ge
+    import jax
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    ge.dryrun_multichip(8)
