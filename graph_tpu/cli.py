@@ -1,0 +1,217 @@
+"""Benchmark/driver CLI.
+
+Reference analog: the ``app`` binary (crates/app/src/app.rs:41-153):
+
+    app -p <path> [-f edge-list|graph500] [--use-32-bit] [-r runs]
+        [-w warmup-runs] <page-rank|sssp|triangle-count|wcc|loading|serialize>
+
+Differences from the reference: warmup runs double as JIT compilation
+(the XLA analog of cache warmup), ``--use-32-bit`` selects the id dtype
+(int32 is already the default, matching graph_mate), and
+``-g adjacency-list`` maps to the edge-buffer graph.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+import numpy as np
+
+log = logging.getLogger("graph_tpu.app")
+
+
+def _common(parser):
+    parser.add_argument("-p", "--path", required=True)
+    parser.add_argument(
+        "-f", "--format", choices=["edge-list", "graph500"], default="edge-list"
+    )
+    parser.add_argument(
+        "-g",
+        "--graph",
+        choices=["csr", "adjacency-list"],
+        default="csr",
+        help="graph storage (adjacency-list = mutable edge buffer)",
+    )
+    parser.add_argument("--use-32-bit", action="store_true")
+    parser.add_argument("-r", "--runs", type=int, default=1)
+    parser.add_argument("-w", "--warmup-runs", type=int, default=5)
+    parser.add_argument("-v", "--verbose", action="count", default=1)
+    parser.add_argument(
+        "--platform",
+        choices=["tpu", "cpu", "default"],
+        default="default",
+        help="force the JAX backend (default: environment's choice)",
+    )
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="graph-tpu", description=__doc__)
+    sub = p.add_subparsers(dest="algorithm", required=True)
+
+    pr = sub.add_parser("page-rank")
+    _common(pr)
+    pr.add_argument("--max-iterations", type=int, default=20)
+    pr.add_argument("--tolerance", type=float, default=1e-4)
+    pr.add_argument("--damping-factor", type=float, default=0.85)
+
+    ss = sub.add_parser("sssp")
+    _common(ss)
+    ss.add_argument("--start-node", type=int, required=True)
+    ss.add_argument("--delta", type=float, required=True)
+
+    tc = sub.add_parser("triangle-count")
+    _common(tc)
+    tc.add_argument("--relabel", action="store_true")
+
+    wc = sub.add_parser("wcc")
+    _common(wc)
+    wc.add_argument("--chunk-size", type=int, default=16384)
+    wc.add_argument("--neighbor-rounds", type=int, default=2)
+    wc.add_argument("--sampling-size", type=int, default=1024)
+
+    ld = sub.add_parser("loading")
+    _common(ld)
+    ld.add_argument("--undirected", action="store_true")
+    ld.add_argument("--weighted", action="store_true")
+
+    se = sub.add_parser("serialize")
+    _common(se)
+    se.add_argument("-o", "--output", required=True)
+    se.add_argument("--undirected", action="store_true")
+
+    return p
+
+
+def timed_runs(runs: int, warmup_runs: int, f):
+    """Reference ``time()`` analog (app.rs:124-153)."""
+    for run in range(1, warmup_runs + 1):
+        t0 = time.perf_counter()
+        f()
+        log.info(
+            "Warm-up run %d of %d finished in %.6fs",
+            run,
+            warmup_runs,
+            time.perf_counter() - t0,
+        )
+    durations = []
+    for run in range(1, runs + 1):
+        t0 = time.perf_counter()
+        f()
+        took = time.perf_counter() - t0
+        durations.append(took)
+        log.info("Run %d of %d finished in %.6fs", run, runs, took)
+    if durations:
+        log.info("Average runtime: %.6fs", sum(durations) / len(durations))
+    return durations
+
+
+def _load(args, undirected=False, weighted=False):
+    from graph_tpu.builder import GraphBuilder
+    from graph_tpu.graph.csr import CsrLayout
+    from graph_tpu.io.edgelist import EdgeListInput
+    from graph_tpu.io.graph500 import Graph500Input
+
+    id_dtype = np.int32 if args.use_32_bit else np.int32  # int64 gated on x64
+    fmt = (
+        Graph500Input()
+        if args.format == "graph500"
+        else EdgeListInput(weighted=weighted or None)
+    )
+    b = GraphBuilder().id_dtype(id_dtype).file_format(fmt).path(args.path)
+    if getattr(args, "algorithm", "") == "triangle-count" or undirected:
+        b = b.csr_layout(CsrLayout.DEDUPLICATED)
+        return b.build_undirected()
+    return b.build_directed()
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.platform != "default":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    logging.basicConfig(
+        level=logging.INFO if args.verbose else logging.WARNING,
+        format="%(asctime)s %(levelname)s %(name)s - %(message)s",
+    )
+    log.info("Reading graph (%s bit) from: %s", 32 if args.use_32_bit else 32, args.path)
+
+    if args.algorithm == "page-rank":
+        from graph_tpu.algos.pagerank import PageRankConfig, page_rank
+
+        g = _load(args)
+        cfg = PageRankConfig(args.max_iterations, args.tolerance, args.damping_factor)
+
+        def run():
+            res = page_rank(g, cfg)
+            log.info(
+                "PageRank ran %d iterations with error %e",
+                res.ran_iterations,
+                res.error,
+            )
+
+        timed_runs(args.runs, args.warmup_runs, run)
+
+    elif args.algorithm == "sssp":
+        from graph_tpu.algos.sssp import DeltaSteppingConfig, delta_stepping
+
+        g = _load(args, weighted=True)
+        cfg = DeltaSteppingConfig(args.start_node, args.delta)
+        timed_runs(args.runs, args.warmup_runs, lambda: delta_stepping(g, cfg))
+
+    elif args.algorithm == "triangle-count":
+        from graph_tpu.algos.triangle_count import global_triangle_count
+        from graph_tpu.graph.ops import make_degree_ordered
+
+        g = _load(args, undirected=True)
+        if args.relabel:
+            t0 = time.perf_counter()
+            g = make_degree_ordered(g)
+            log.info("Relabeled graph in %.3fs", time.perf_counter() - t0)
+
+        def run():
+            res = global_triangle_count(g)
+            log.info("Computed %s triangles", f"{res.triangles:,}")
+
+        timed_runs(args.runs, args.warmup_runs, run)
+
+    elif args.algorithm == "wcc":
+        from graph_tpu.algos.wcc import WccConfig, wcc
+
+        g = _load(args)
+        cfg = WccConfig(args.chunk_size, args.neighbor_rounds, args.sampling_size)
+        timed_runs(args.runs, args.warmup_runs, lambda: wcc(g, cfg))
+
+    elif args.algorithm == "loading":
+        # parse benchmark (app/src/loading.rs:11-75 analog)
+        def run():
+            g = _load(args, undirected=args.undirected, weighted=args.weighted)
+            log.info(
+                "Loaded %d nodes and %d edges", g.node_count, g.edge_count
+            )
+
+        timed_runs(args.runs, args.warmup_runs, run)
+
+    elif args.algorithm == "serialize":
+        # el -> binary -> reload -> verify (app/src/serialize.rs:14-109)
+        from graph_tpu.io.binary import load_graph, save_graph
+
+        g = _load(args, undirected=args.undirected)
+        t0 = time.perf_counter()
+        save_graph(args.output, g)
+        log.info("Serialized graph in %.3fs", time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        g2 = load_graph(args.output)
+        log.info("Deserialized graph in %.3fs", time.perf_counter() - t0)
+        assert g2.node_count == g.node_count
+        assert g2.edge_count == g.edge_count
+        log.info("Serialization roundtrip verified")
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
