@@ -1,0 +1,46 @@
+"""EdgeEngine — apply a compiled EdgePlan on device.
+
+``engine.spmv(x)`` computes ``y[d] = sum over edges (s -> d) of x[s]``
+(optionally edge-weighted later), entirely with the vectorized K1/K2
+Pallas kernels.  This is the TPU-native replacement for the reference's
+pull loop (crates/algos/src/page_rank.rs:143-146).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graph_tpu.engine.kernels import MID, SEC_R, SLICE, k1_gather, k2_reduce
+from graph_tpu.engine.plan import EdgePlan, build_plan
+
+
+class EdgeEngine:
+    """Device-resident compiled edge-traversal plan."""
+
+    def __init__(self, plan: EdgePlan, interpret: bool = False):
+        self.plan = plan
+        self.interpret = interpret
+        self.dev = plan.device_arrays()
+
+    @classmethod
+    def build(cls, src, dst, n, colorer=None, interpret: bool = False):
+        return cls(build_plan(np.asarray(src), np.asarray(dst), n,
+                              colorer=colorer), interpret=interpret)
+
+    def spmv(self, x: jax.Array) -> jax.Array:
+        """y[d] = sum_{(s,d) in E} x[s]; x: (n,) f32 -> y: (n,) f32.
+
+        Segment sums must stay below 2**(31-FIXED_BITS) in magnitude
+        (PageRank contributions sum to <= 1 per node, well within).
+        """
+        p, d = self.plan, self.dev
+        xp = jnp.zeros(p.nx, jnp.float32).at[: p.n].set(x)
+        contrib = k1_gather(xp, d["widx"], d["border"], d["sb"], d["ws"],
+                            interpret=self.interpret)
+        y_mids = k2_reduce(contrib, d["wa"], d["wb"], d["cidx"], d["meta"],
+                           d["sec_mid"], p.nmid, interpret=self.interpret)
+        return y_mids.reshape(-1)[: p.n]
+
+

@@ -1,0 +1,228 @@
+"""Pallas TPU kernels for the EdgeEngine.
+
+K1 (gather): streams the plan's edge slots in (mid, src)-sorted order
+and produces per-edge contributions ``x[src]`` via a windowed 8-way
+select gather — the vectorized replacement for the reference's per-edge
+pull loop (crates/algos/src/page_rank.rs:143-146).  Measured 0.055
+ns/edge on v5e (vs 15 ns/edge for XLA's scalarized 1-D gather).
+
+K2 (reduce): per 64K-edge section of one mid (64K destinations), routes
+contributions through a build-time-computed Clos/Benes permutation
+network into destination-sorted order inside VMEM, then segment-sums
+them with an int32 fixed-point cumulative sum (wraparound-exact, same
+trick as graph_tpu.ops.segment.segment_sum_fixedpoint) and a monotone
+window compaction into per-destination cells.  This replaces the
+reference's atomic scatter (crates/builder/src/graph/csr.rs:154-172)
+and CAS loops — all conflicts were resolved on the host at plan-build
+time.
+
+Layout constants here must match graph_tpu.engine.plan.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# ---- K1 layout constants
+TILE = 1024            # edge slots per tile (one (8,128) VREG tile)
+TPB = 16               # tiles per K1 block
+BLK = TILE * TPB       # 16384 edge slots per K1 block
+WIN = 4096             # gather window per tile (multiple of 1024)
+SLICE = 32768          # x slice granularity; a block sees 2 slices
+SPAN_BUDGET = WIN - 1024       # max (src - tile_first_src) within a tile
+PAIR_SPAN = 2 * SLICE - 1      # max (src - block_slice_base): uint16 / slice pair
+
+# ---- K2 layout constants
+SEC_R = 512            # rows per section
+SEC = SEC_R * 128      # 65536 edge slots per section
+MID = 65536            # destinations per mid
+FIXED_BITS = 30        # fixed-point fraction bits
+
+
+def _k1_kernel(border_ref, sb_ref, ws_ref, xlo_ref, xhi_ref, widx_ref, out_ref, xs_ref):
+    xs_ref[0:SLICE] = xlo_ref[:]
+    xs_ref[SLICE:] = xhi_ref[:]
+    blk = border_ref[pl.program_id(0)]
+
+    def tile_body(t, _):
+        start = pl.multiple_of(ws_ref[blk * TPB + t], 1024)
+        w = xs_ref[pl.ds(start, WIN)].reshape(WIN // 128, 128)
+        idx = widx_ref[pl.ds(t * 8, 8), :].astype(jnp.int32) - start
+        hi = idx >> 7
+        lo = idx & 127
+        acc = jnp.zeros((8, 128), jnp.float32)
+        for h in range(WIN // 128):
+            row = jax.lax.broadcast_in_dim(w[h], (8, 128), (1,))
+            g = jnp.take_along_axis(row, lo, axis=1)
+            acc = jnp.where(hi == h, g, acc)
+        out_ref[pl.ds(t * 8, 8), :] = acc
+        return 0
+
+    jax.lax.fori_loop(0, TPB, tile_body, 0, unroll=True)
+
+
+def k1_gather(x_padded, widx, border, sb, ws, *, interpret=False):
+    """Per-edge gather: out[i] = x_padded[plan position of slot i].
+
+    x_padded: (nx,) f32 with nx a multiple of SLICE (>= (max(sb)+2)*SLICE).
+    widx: (nslots//128, 128) uint16 slice-local positions.
+    border: (nblocks,) int32 slice-major block visit order (prefetched);
+        grid step k processes block border[k], so each x slice streams
+        through VMEM exactly once even though blocks of different mids
+        revisit the same slices.
+    sb: (nblocks,) int32 slice index of each block (prefetched).
+    ws: (ntiles,) int32 window starts, slice-local, multiples of 1024.
+    Returns (nslots//128, 128) f32 contributions.
+    """
+    nrows = widx.shape[0]
+    nblk = nrows * 128 // BLK
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((SLICE,), lambda k, bo, sb, ws: (sb[bo[k]],)),
+            pl.BlockSpec((SLICE,), lambda k, bo, sb, ws: (sb[bo[k]] + 1,)),
+            pl.BlockSpec((BLK // 128, 128), lambda k, bo, sb, ws: (bo[k], 0)),
+        ],
+        out_specs=pl.BlockSpec((BLK // 128, 128), lambda k, bo, sb, ws: (bo[k], 0)),
+        scratch_shapes=[pltpu.VMEM((2 * SLICE,), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _k1_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nrows, 128), jnp.float32),
+        interpret=interpret,
+    )(border, sb, ws, x_padded, x_padded, widx)
+
+
+def _k2_kernel(meta_ref, v_ref, wa_ref, wb_ref, cidx_ref, out_ref, c_ref, y_ref):
+    """Per-section: Benes route -> fixed-point cumsum -> compact -> accumulate.
+
+    meta layout per section (int32): [first_of_mid, ws2[64], nsub[64]] = 129.
+    """
+    sec = pl.program_id(0)
+    mbase = sec * 129
+
+    wa = wa_ref[:].astype(jnp.int32)
+    v = v_ref[:]
+    v = jnp.where((wa >> 15) == 1, 0.0, v)
+
+    # ---- Benes stages (A, T, B, C, D, T', E)
+    v = jnp.take_along_axis(v, wa & 127, axis=1)
+    y = jnp.swapaxes(v, 0, 1).reshape(SEC_R, 128)
+    wb = wb_ref[:].astype(jnp.int32)
+    y = jnp.take_along_axis(y, wb & 127, axis=1)
+    # C stage: out[r] = in[(r & ~3) | g]; shift delta in [-3, 3] via rolls
+    row_mod4 = jnp.bitwise_and(
+        jax.lax.broadcasted_iota(jnp.int32, (SEC_R, 128), 0), 3)
+    delta = ((wb >> 7) & 3) - row_mod4
+    yc = jnp.where(delta == 0, y, 0.0)
+    for s in (1, 2, 3):
+        yc = yc + jnp.where(delta == -s, pltpu.roll(y, s, 0), 0.0)
+        yc = yc + jnp.where(delta == s, pltpu.roll(y, SEC_R - s, 0), 0.0)
+    y = jnp.take_along_axis(yc, (wb >> 9) & 127, axis=1)
+    v = jnp.swapaxes(y.reshape(128, SEC_R), 0, 1)
+    v = jnp.take_along_axis(v, (wa >> 7) & 127, axis=1)
+    # v is destination-sorted (lead pad first, tail pads last)
+
+    # ---- int32 fixed-point inclusive cumsum over the flat section
+    q = jnp.round(v * jnp.float32(1 << FIXED_BITS)).astype(jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SEC_R, 128), 1)
+    for sh in (1, 2, 4, 8, 16, 32, 64):
+        q = q + jnp.where(lane >= sh, pltpu.roll(q, sh, 1), 0)
+    rowsum = q[:, 127:128]
+    c4 = rowsum.reshape(4, 128)
+    lane4 = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 1)
+    for sh in (1, 2, 4, 8, 16, 32, 64):
+        c4 = c4 + jnp.where(lane4 >= sh, pltpu.roll(c4, sh, 1), 0)
+    gt = jax.lax.broadcast_in_dim(c4[:, 127], (4, 128), (0,))
+    row4 = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 0)
+    for k in (1, 2, 3):
+        c4 = c4 + jnp.where(row4 >= k, pltpu.roll(gt, k, 0), 0)
+    offs = c4.reshape(SEC_R, 1) - rowsum
+    c_ref[:] = q + offs
+
+    # ---- monotone window compaction: cells[d] = C[e_d]
+    def tile_body(t, _):
+        base = pl.multiple_of(meta_ref[mbase + 1 + t], 1024)
+        nsb = meta_ref[mbase + 65 + t]
+        local = cidx_ref[pl.ds(t * 8, 8), :].astype(jnp.int32) - base
+        hi = local >> 7
+        lo = local & 127
+
+        def sub(jj, acc):
+            row0 = pl.multiple_of(base // 128 + jj * 8, 8)
+            win = c_ref[pl.ds(row0, 8), :]
+            for h in range(8):
+                rowv = jax.lax.broadcast_in_dim(win[h], (8, 128), (1,))
+                g = jnp.take_along_axis(rowv, lo, axis=1)
+                acc = jnp.where(hi == jj * 8 + h, g, acc)
+            return acc
+
+        acc = jax.lax.fori_loop(0, nsb, sub, jnp.zeros((8, 128), jnp.int32))
+        y_ref[pl.ds(t * 8, 8), :] = acc
+        return 0
+
+    jax.lax.fori_loop(0, 64, tile_body, 0)
+    cells = y_ref[:]
+
+    # ---- y_add[d] = cells[d] - cells[d-1] (flat shift by one)
+    prev_rows = pltpu.roll(cells, 1, 0)
+    lane_sh = pltpu.roll(cells, 1, 1)
+    col0 = prev_rows[:, 127:128]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (SEC_R, 128), 0)
+    shifted = jnp.where(lane == 0, col0, lane_sh)
+    shifted = jnp.where((lane == 0) & (row_ids == 0), 0, shifted)
+    y_add = (cells - shifted).astype(jnp.float32) / jnp.float32(1 << FIXED_BITS)
+
+    @pl.when(meta_ref[mbase] == 1)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+    out_ref[:] += y_add
+
+
+def k2_reduce(contrib, wa, wb, cidx, meta, sec_mid, nmid, *, interpret=False):
+    """Segment-sum contributions into per-mid y blocks.
+
+    contrib: (nsec*512, 128) f32 in section order.
+    wa, wb:  (nsec*512, 128) uint16 packed Benes routing.
+    cidx:    (nsec*512, 128) uint16 compaction cell indices.
+    meta:    (nsec*129,) int32 prefetch: per section [first, ws2[64], nsub[64]].
+    sec_mid: (nsec,) int32 mid of each section (prefetched via closure-free
+             indexing: baked into the out index_map through the meta array).
+    Returns (nmid*512, 128) f32; reshape(-1)[:n] is y.
+    """
+    nsec = contrib.shape[0] // SEC_R
+    sec_mid = sec_mid.astype(jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,   # sec_mid, meta
+        grid=(nsec,),
+        in_specs=[
+            pl.BlockSpec((SEC_R, 128), lambda k, sm, mt: (k, 0)),
+            pl.BlockSpec((SEC_R, 128), lambda k, sm, mt: (k, 0)),
+            pl.BlockSpec((SEC_R, 128), lambda k, sm, mt: (k, 0)),
+            pl.BlockSpec((SEC_R, 128), lambda k, sm, mt: (k, 0)),
+        ],
+        out_specs=pl.BlockSpec((SEC_R, 128), lambda k, sm, mt: (sm[k], 0)),
+        scratch_shapes=[
+            pltpu.VMEM((SEC_R, 128), jnp.int32),
+            pltpu.VMEM((SEC_R, 128), jnp.int32),
+        ],
+    )
+
+    def kernel(sm_ref, meta_ref, v_ref, wa_ref, wb_ref, cidx_ref, out_ref,
+               c_ref, y_ref):
+        _k2_kernel(meta_ref, v_ref, wa_ref, wb_ref, cidx_ref, out_ref,
+                   c_ref, y_ref)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nmid * SEC_R, 128), jnp.float32),
+        interpret=interpret,
+    )(sec_mid, meta, contrib, wa, wb, cidx)

@@ -1,0 +1,253 @@
+"""EdgePlan — build-time layout compiler for the EdgeEngine.
+
+Turns an edge list into the padded slot stream + routing metadata that
+:mod:`graph_tpu.engine.kernels` consumes.  All conflict resolution the
+reference performs at runtime with atomics (csr.rs:154-172 scatter,
+dss.rs:148-150 CAS) happens here, once per graph, on the host.
+
+Layout (constants shared with kernels.py):
+
+* Edges are sorted by (mid, src) where mid = dst // 65536.
+* The slot stream is the edge list plus pads:
+    - every 65536-slot section starts with one lead pad (sort key -1,
+      guarantees cumsum position 0 is zero),
+    - tiles (1024 slots) are cut early when the src span would exceed
+      the K1 gather window; blocks (16 tiles) when it would exceed the
+      x-slice pair,
+    - every mid is padded to a whole number of sections.
+* K1 metadata: per-block x-slice index (sb), per-tile window start
+  (ws), per-slot slice-local src (widx, uint16), and a slice-major
+  block visit order (border) so x slices stream through VMEM once.
+* K2 metadata: per-section packed Benes routing (wa, wb), compaction
+  cell indices (cidx), window starts / counts (meta), section mid ids.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Optional
+
+import numpy as np
+
+from graph_tpu.engine import route as _route
+from graph_tpu.engine.kernels import (
+    BLK, MID, PAIR_SPAN, SEC, SEC_R, SLICE, SPAN_BUDGET, TILE, TPB, WIN,
+)
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class EdgePlan:
+    """Host-side plan; `device_arrays()` uploads once."""
+
+    n: int
+    m: int
+    nslots: int
+    nmid: int
+    nsec: int
+    nx: int  # padded x length (multiple of SLICE, covers all slices + 1)
+    # K1
+    widx: np.ndarray     # (nslots//128, 128) uint16
+    sb: np.ndarray       # (nblocks,) int32
+    ws: np.ndarray       # (ntiles,) int32
+    border: np.ndarray   # (nblocks,) int32 grid order
+    # K2
+    wa: np.ndarray       # (nsec*512, 128) uint16
+    wb: np.ndarray       # (nsec*512, 128) uint16
+    cidx: np.ndarray     # (nsec*512, 128) uint16
+    meta: np.ndarray     # (nsec*129,) int32
+    sec_mid: np.ndarray  # (nsec,) int32
+
+    def device_arrays(self):
+        import jax.numpy as jnp
+
+        return {
+            "widx": jnp.asarray(self.widx),
+            "sb": jnp.asarray(self.sb),
+            "ws": jnp.asarray(self.ws),
+            "border": jnp.asarray(self.border),
+            "wa": jnp.asarray(self.wa),
+            "wb": jnp.asarray(self.wb),
+            "cidx": jnp.asarray(self.cidx),
+            "meta": jnp.asarray(self.meta),
+            "sec_mid": jnp.asarray(self.sec_mid),
+        }
+
+
+def build_plan(
+    src: np.ndarray,
+    dst: np.ndarray,
+    n: int,
+    values: Optional[np.ndarray] = None,
+    colorer=None,
+) -> EdgePlan:
+    """Compile an edge list into an EdgePlan.
+
+    src, dst: (m,) integer arrays (the plan gathers x[src] and reduces
+    into y[dst]).  `colorer` optionally overrides the bipartite
+    edge-coloring (native C++ implementation); defaults to the python
+    one in graph_tpu.engine.route.
+    """
+    t0 = time.perf_counter()
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    m = src.size
+    nmid = max(1, -(-n // MID))
+
+    order = np.lexsort((src, dst // MID))
+    src_s = src[order]
+    mid_s = (dst[order] // MID).astype(np.int64)
+    dstl_s = (dst[order] - mid_s * MID).astype(np.int64)
+
+    mid_starts = np.searchsorted(mid_s, np.arange(nmid + 1))
+
+    # ---- slot stream layout (per mid)
+    tile_srcs: list = []       # per tile: array of real srcs or None
+    tile_pads: list = []       # per tile: (ntail, lead, _)
+    tile_dstl: list = []
+    slot = 0
+    sec_mid_list = []
+    for mi in range(nmid):
+        lo, hi = mid_starts[mi], mid_starts[mi + 1]
+        t_start = len(tile_srcs)
+        s0 = slot
+        slot = _layout_mid_with_dst(
+            src_s[lo:hi], dstl_s[lo:hi], tile_srcs, tile_pads, tile_dstl, s0)
+        nsec_i = (slot - s0) // SEC
+        sec_mid_list.extend([mi] * nsec_i)
+    nslots = slot
+    ntiles = nslots // TILE
+    nblocks = ntiles // TPB
+    nsec = nslots // SEC
+    assert len(tile_srcs) == ntiles
+
+    # ---- K1 arrays
+    widx_flat = np.zeros(nslots, np.uint16)
+    slot_dstl = np.zeros(nslots, np.int32)  # -1 lead, MID tail/pads
+    ws = np.zeros(ntiles, np.int32)
+    sb = np.zeros(nblocks, np.int32)
+    pos = 0
+    for t in range(ntiles):
+        srcs = tile_srcs[t]
+        ntail, lead, _ = tile_pads[t]
+        b = t // TPB
+        if t % TPB == 0:
+            # block slice from the first real src in the block
+            bfirst = None
+            for tt in range(t, min(t + TPB, ntiles)):
+                if tile_srcs[tt] is not None and tile_srcs[tt].size:
+                    bfirst = tile_srcs[tt][0]
+                    break
+            sb[b] = 0 if bfirst is None else bfirst // SLICE
+        base = sb[b] * SLICE
+        if srcs is not None and srcs.size:
+            first_local = srcs[0] - base
+            ws[t] = min((first_local // 1024) * 1024, 2 * SLICE - WIN)
+        else:
+            ws[t] = 0
+        fill = np.full(TILE, ws[t], np.int64)  # pads gather window start
+        dloc = np.full(TILE, MID, np.int32)
+        off = lead
+        if srcs is not None and srcs.size:
+            fill[off:off + srcs.size] = srcs - base
+            dloc[off:off + srcs.size] = tile_dstl[t]
+        if lead:
+            dloc[0] = -1
+        widx_flat[pos:pos + TILE] = fill.astype(np.uint16)
+        slot_dstl[pos:pos + TILE] = dloc
+        pos += TILE
+
+    # slice-major block visit order (stream x through VMEM once)
+    border = np.argsort(sb, kind="stable").astype(np.int32)
+
+    # ---- K2 per-section routing
+    wa = np.zeros((nsec * SEC_R, 128), np.uint16)
+    wb = np.zeros((nsec * SEC_R, 128), np.uint16)
+    cidx = np.zeros((nsec * SEC_R, 128), np.uint16)
+    meta = np.zeros(nsec * 129, np.int32)
+    for s in range(nsec):
+        keys = slot_dstl[s * SEC:(s + 1) * SEC]
+        sort_order = np.argsort(keys, kind="stable")
+        target = np.empty(SEC, np.int64)
+        target[sort_order] = np.arange(SEC)
+        idx = (_route.clos_route(target, SEC_R) if colorer is None
+               else colorer(target, SEC_R))
+        pad = ((keys == -1) | (keys == MID)).reshape(SEC_R, 128)
+        wa_s, wb_s = _route.pack_routing(idx, pad)
+        s_key = keys[sort_order]
+        e_d = (np.searchsorted(s_key, np.arange(MID), side="right") - 1)
+        assert e_d.min() >= 0
+        meta_s = np.zeros(129, np.int32)
+        ci = np.zeros(MID, np.uint16)
+        for t in range(64):
+            seg = e_d[t * 1024:(t + 1) * 1024]
+            base = (int(seg.min()) // 1024) * 1024
+            meta_s[1 + t] = base
+            meta_s[65 + t] = (int(seg.max()) - base) // 1024 + 1
+            ci[t * 1024:(t + 1) * 1024] = seg.astype(np.uint16)
+        meta_s[0] = 1 if (s == 0 or sec_mid_list[s] != sec_mid_list[s - 1]) else 0
+        wa[s * SEC_R:(s + 1) * SEC_R] = wa_s
+        wb[s * SEC_R:(s + 1) * SEC_R] = wb_s.reshape(SEC_R, 128)
+        cidx[s * SEC_R:(s + 1) * SEC_R] = ci.reshape(SEC_R, 128)
+        meta[s * 129:(s + 1) * 129] = meta_s
+
+    nx = (max(int(sb.max()) + 2 if nblocks else 2, -(-n // SLICE) + 1)) * SLICE
+    plan = EdgePlan(
+        n=n, m=m, nslots=nslots, nmid=nmid, nsec=nsec, nx=nx,
+        widx=widx_flat.reshape(-1, 128), sb=sb, ws=ws, border=border,
+        wa=wa, wb=wb, cidx=cidx, meta=meta,
+        sec_mid=np.asarray(sec_mid_list, np.int32),
+    )
+    logger.info(
+        "EdgePlan: m=%d slots=%d (%.1f%% pad) mids=%d sections=%d in %.2fs",
+        m, nslots, 100.0 * (nslots - m) / max(1, nslots), nmid, nsec,
+        time.perf_counter() - t0,
+    )
+    return plan
+
+
+def _layout_mid_with_dst(src, dstl, out_src, out_pad, out_dstl, slot0):
+    """Like _layout_mid but also carries per-tile dst-local arrays."""
+    m_i = src.size
+    cur = 0
+    slot = slot0
+    block_first = -1
+    while True:
+        if cur >= m_i and slot % SEC == 0 and slot > slot0:
+            break
+        if cur >= m_i and m_i == 0 and slot == slot0:
+            pass  # emit at least one full pad section
+        lead = 1 if slot % SEC == 0 else 0
+        if slot % BLK == 0:
+            block_first = -1
+        cap = TILE - lead
+        if cur >= m_i:
+            out_src.append(None)
+            out_pad.append((TILE - lead, lead, None))
+            out_dstl.append(None)
+            slot += TILE
+            if slot % SEC == 0:
+                break
+            continue
+        first = src[cur]
+        if block_first < 0:
+            block_first = first
+        block_base = (block_first // SLICE) * SLICE
+        if first - block_base > PAIR_SPAN:
+            out_src.append(None)
+            out_pad.append((TILE - lead, lead, None))
+            out_dstl.append(None)
+            slot += TILE
+            continue
+        hi_span = min(first + SPAN_BUDGET, block_base + PAIR_SPAN)
+        hi = np.searchsorted(src, hi_span, side="right")
+        k = min(cap, hi - cur)
+        out_src.append(src[cur:cur + k])
+        out_dstl.append(dstl[cur:cur + k])
+        out_pad.append((TILE - lead - k, lead, None))
+        cur += k
+        slot += TILE
+    return slot

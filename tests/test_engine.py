@@ -1,0 +1,103 @@
+"""EdgeEngine tests: Clos routing, plan invariants, kernel correctness.
+
+Kernels run in Pallas interpret mode on the CPU backend; the real
+Mosaic lowering is exercised by bench.py / scripts on TPU.
+"""
+
+import numpy as np
+import pytest
+
+from graph_tpu.engine.route import clos_route, clos_apply_reference, edge_color
+from graph_tpu.engine.kernels import MID, SEC, SEC_R, SLICE, SPAN_BUDGET, TILE, TPB, WIN
+from graph_tpu.engine.plan import build_plan
+
+
+rng = np.random.default_rng(7)
+
+
+@pytest.mark.parametrize("d", [2, 8, 32])
+def test_edge_color_regular(d):
+    nl = nr = 16
+    left = np.repeat(np.arange(nl), d)
+    right = rng.permuted(np.repeat(np.arange(nr), d))
+    col = edge_color(left, right, nl, nr, d)
+    for v in range(nl):
+        assert len(set(col[left == v])) == d
+    for v in range(nr):
+        assert len(set(col[right == v])) == d
+
+
+@pytest.mark.parametrize("r", [128, 512])
+def test_clos_route_random_perm(r):
+    n = r * 128
+    perm = rng.permutation(n)
+    idx = clos_route(perm, r)
+    x = rng.normal(size=(r, 128)).astype(np.float32)
+    out = clos_apply_reference(x, idx)
+    exp = np.empty(n, np.float32)
+    exp[perm] = x.ravel()
+    assert np.array_equal(out.ravel(), exp)
+
+
+def _random_graph(n, m, seed=3):
+    g = np.random.default_rng(seed)
+    src = g.integers(0, n, m)
+    dst = g.integers(0, n, m)
+    dst[: m // 8] = min(7, n - 1)      # in-hub
+    src[m // 8 : m // 4] = min(13, n - 1)  # out-hub
+    return src, dst
+
+
+def test_plan_invariants():
+    n, m = 5000, 20000
+    src, dst = _random_graph(n, m)
+    plan = build_plan(src, dst, n)
+    assert plan.nslots % SEC == 0
+    assert plan.nsec == plan.nslots // SEC
+    assert plan.sec_mid.size == plan.nsec
+    ntiles = plan.nslots // TILE
+    widx = plan.widx.reshape(-1)
+    for t in range(ntiles):
+        b = t // TPB
+        w = widx[t * TILE : (t + 1) * TILE].astype(np.int64)
+        ws = plan.ws[t]
+        assert ws % 1024 == 0
+        assert ws + WIN <= 2 * SLICE
+        # every slot's gather index falls inside the tile window
+        assert (w >= ws).all() and (w < ws + WIN).all()
+    # border is a permutation ordered by slice
+    assert np.array_equal(np.sort(plan.border), np.arange(plan.sb.size))
+    assert (np.diff(plan.sb[plan.border]) >= 0).all()
+
+
+def test_engine_spmv_interpret():
+    n, m = 3000, 12000
+    src, dst = _random_graph(n, m)
+    from graph_tpu.engine.engine import EdgeEngine
+
+    eng = EdgeEngine.build(src, dst, n, interpret=True)
+    x = (rng.random(n) * 1e-4).astype(np.float32)
+    import jax.numpy as jnp
+
+    y = np.asarray(eng.spmv(jnp.asarray(x)))
+    y_exp = np.zeros(n, np.float64)
+    np.add.at(y_exp, dst, np.round(x[src].astype(np.float64) * (1 << 30)) / (1 << 30))
+    assert np.abs(y - y_exp).max() < 1e-6
+
+
+def test_engine_spmv_two_mids_interpret():
+    n = MID + 100  # forces 2 mids, second nearly empty
+    m = 4000
+    src, dst = _random_graph(n, m, seed=11)
+    dst[-10:] = MID + 50  # a few edges into the second mid
+    from graph_tpu.engine.engine import EdgeEngine
+
+    eng = EdgeEngine.build(src, dst, n, interpret=True)
+    assert eng.plan.nmid == 2
+    x = (rng.random(n) * 1e-4).astype(np.float32)
+    import jax.numpy as jnp
+
+    y = np.asarray(eng.spmv(jnp.asarray(x)))
+    y_exp = np.zeros(n, np.float64)
+    np.add.at(y_exp, dst, np.round(x[src].astype(np.float64) * (1 << 30)) / (1 << 30))
+    assert np.abs(y - y_exp).max() < 1e-6
