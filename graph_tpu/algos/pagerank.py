@@ -41,16 +41,24 @@ from graph_tpu.ops.segment import segment_sum_fixedpoint, segment_sum_sorted
 class PageRankConfig:
     """Reference analog: ``PageRankConfig`` (page_rank.rs:17-56).
 
-    ``engine`` selects the segment-sum implementation (TPU-specific, no
-    reference analog): "scatter" = XLA scatter-add (simple, slow on TPU),
-    "cumsum" = int32 fixed-point prefix sums (vectorized, exact to ~1e-9
-    per edge; the fast path).
+    ``engine`` selects the SpMV implementation (TPU-specific, no
+    reference analog):
+
+    * "scatter" — XLA scatter-add (simple, scalarized on TPU),
+    * "cumsum"  — int32 fixed-point prefix sums over the in-CSR
+      (vectorized dst side, but the per-edge gather is still XLA's
+      scalar gather),
+    * "plan"    — the EdgeEngine (graph_tpu.engine): build-time-compiled
+      Pallas kernels, ~2 orders of magnitude faster per iteration on
+      large graphs; plan construction costs seconds and is cached per
+      graph,
+    * "auto"    — "plan" for graphs with >= 2**21 edges, else "cumsum".
     """
 
     max_iterations: int = 20
     tolerance: float = 1e-4
     damping_factor: float = 0.85
-    engine: str = "cumsum"
+    engine: str = "auto"
 
     DEFAULT_MAX_ITERATIONS = 20
     DEFAULT_TOLERANCE = 1e-4
@@ -128,6 +136,11 @@ def page_rank(
     (page_rank.rs:58).
     """
     config = config or PageRankConfig()
+    engine = config.engine
+    if engine == "auto":
+        engine = "plan" if graph.edge_count >= (1 << 21) else "cumsum"
+    if engine == "plan":
+        return _page_rank_plan(graph, config)
     start = time.perf_counter()
     scores, iters, err = _page_rank_device(
         graph.csr_in.sources,
@@ -137,7 +150,7 @@ def page_rank(
         max_iterations=int(config.max_iterations),
         tolerance=jnp.float32(config.tolerance),
         damping_factor=jnp.float32(config.damping_factor),
-        engine=config.engine,
+        engine=engine,
     )
     scores.block_until_ready()
     micros = int((time.perf_counter() - start) * 1e6)
@@ -196,3 +209,86 @@ def page_rank_reference(
         iteration += 1
         if err < config.tolerance or iteration == config.max_iterations:
             return scores, iteration, err
+
+
+# ---------------------------------------------------------------------------
+# EdgeEngine-based PageRank (engine="plan")
+
+_ENGINE_CACHE: "weakref.WeakKeyDictionary" = None  # lazy
+
+
+def _graph_engine(graph: DirectedCsrGraph):
+    """Build (and weakly cache) the EdgeEngine for a graph's edges."""
+    global _ENGINE_CACHE
+    import weakref
+
+    from graph_tpu.engine.engine import EdgeEngine
+
+    if _ENGINE_CACHE is None:
+        _ENGINE_CACHE = weakref.WeakKeyDictionary()
+    try:
+        eng = _ENGINE_CACHE.get(graph)
+    except TypeError:  # not weakref-able
+        eng = None
+    if eng is None:
+        eng = EdgeEngine.build(
+            np.asarray(graph.csr_out.sources),
+            np.asarray(graph.csr_out.targets),
+            graph.node_count,
+        )
+        try:
+            _ENGINE_CACHE[graph] = eng
+        except TypeError:
+            pass
+    return eng
+
+
+def _page_rank_plan(graph: DirectedCsrGraph, config: PageRankConfig) -> PageRankResult:
+    """PageRank via the EdgeEngine's vectorized SpMV kernels.
+
+    Same Jacobi iteration as :func:`_page_rank_device`; per-edge sums
+    carry ~2**-30 fixed-point quantization (bounded by sum(scores)=1),
+    far inside the reference's 1e-4 tolerance regime.
+    """
+    eng = _graph_engine(graph)
+    n = graph.node_count
+    outdeg = graph.out_degrees().astype(jnp.float32)
+
+    max_iterations = int(config.max_iterations)
+    tolerance = jnp.float32(config.tolerance)
+    damping = jnp.float32(config.damping_factor)
+
+    @jax.jit
+    def run(outdeg, dev):
+        nf = jnp.float32(n)
+        init = 1.0 / nf
+        base = (1.0 - damping) / nf
+        inv_outdeg = jnp.where(outdeg > 0, 1.0 / jnp.maximum(outdeg, 1.0), 0.0)
+        scores0 = jnp.full((n,), init, jnp.float32)
+
+        def cond(state):
+            _, _, it, err = state
+            return (it < max_iterations) & (err >= tolerance)
+
+        def body(state):
+            scores, out_scores, it, _ = state
+            y = eng.spmv_dev(dev, out_scores)
+            new_scores = base + damping * y
+            err = jnp.sum(jnp.abs(new_scores - scores))
+            return new_scores, new_scores * inv_outdeg, it + 1, err
+
+        return jax.lax.while_loop(
+            cond, body,
+            (scores0, scores0 * inv_outdeg, jnp.int32(0), jnp.float32(jnp.inf)),
+        )
+
+    start = time.perf_counter()
+    scores, _, iters, err = run(outdeg, eng.dev)
+    scores.block_until_ready()
+    micros = int((time.perf_counter() - start) * 1e6)
+    return PageRankResult(
+        scores=scores,
+        ran_iterations=int(iters),
+        error=float(err),
+        micros=micros,
+    )

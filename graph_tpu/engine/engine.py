@@ -34,13 +34,23 @@ class EdgeEngine:
 
         Segment sums must stay below 2**(31-FIXED_BITS) in magnitude
         (PageRank contributions sum to <= 1 per node, well within).
+
+        NOTE: closes over the plan's device arrays — fine for eager use
+        or small graphs, but inside a jit the arrays become embedded
+        constants.  For large graphs use :meth:`spmv_dev` and pass
+        ``self.dev`` through the jit arguments.
         """
-        p, d = self.plan, self.dev
+        return self.spmv_dev(self.dev, x)
+
+    def spmv_dev(self, dev, x: jax.Array) -> jax.Array:
+        """Functional spmv: plan arrays passed explicitly (jit-arg safe)."""
+        p = self.plan
         xp = jnp.zeros(p.nx, jnp.float32).at[: p.n].set(x)
-        contrib = k1_gather(xp, d["widx"], d["border"], d["sb"], d["ws"],
-                            interpret=self.interpret)
-        y_mids = k2_reduce(contrib, d["wa"], d["wb"], d["cidx"], d["meta"],
-                           d["sec_mid"], p.nmid, interpret=self.interpret)
+        contrib = k1_gather(xp, dev["widx"], dev["border"], dev["sb"],
+                            dev["ws"], interpret=self.interpret)
+        y_mids = k2_reduce(contrib, dev["wa"], dev["wb"], dev["cidx"],
+                           dev["meta"], dev["sec_mid"], p.nmid,
+                           interpret=self.interpret)
         return y_mids.reshape(-1)[: p.n]
 
 

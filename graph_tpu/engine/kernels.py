@@ -32,10 +32,11 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 1024            # edge slots per tile (one (8,128) VREG tile)
 TPB = 16               # tiles per K1 block
 BLK = TILE * TPB       # 16384 edge slots per K1 block
-WIN = 4096             # gather window per tile (multiple of 1024)
-SLICE = 32768          # x slice granularity; a block sees 2 slices
-SPAN_BUDGET = WIN - 1024       # max (src - tile_first_src) within a tile
-PAIR_SPAN = 2 * SLICE - 1      # max (src - block_slice_base): uint16 / slice pair
+WIN = 8192             # gather window per tile (multiple of 1024)
+SLICE = 32768          # x slice granularity; a block sees NSLICES slices
+NSLICES = 3            # consecutive x slices staged per block
+SPAN_BUDGET = WIN - 1024           # max (src - tile_first_src) within a tile
+BLOCK_SPAN = NSLICES * SLICE - 1   # max (src - block_slice_base)
 
 # ---- K2 layout constants
 SEC_R = 512            # rows per section
@@ -44,15 +45,17 @@ MID = 65536            # destinations per mid
 FIXED_BITS = 30        # fixed-point fraction bits
 
 
-def _k1_kernel(border_ref, sb_ref, ws_ref, xlo_ref, xhi_ref, widx_ref, out_ref, xs_ref):
-    xs_ref[0:SLICE] = xlo_ref[:]
-    xs_ref[SLICE:] = xhi_ref[:]
+def _k1_kernel(border_ref, sb_ref, ws_ref, x0_ref, x1_ref, x2_ref,
+               widx_ref, out_ref, xs_ref):
+    xs_ref[0:SLICE] = x0_ref[:]
+    xs_ref[SLICE:2 * SLICE] = x1_ref[:]
+    xs_ref[2 * SLICE:] = x2_ref[:]
     blk = border_ref[pl.program_id(0)]
 
     def tile_body(t, _):
         start = pl.multiple_of(ws_ref[blk * TPB + t], 1024)
         w = xs_ref[pl.ds(start, WIN)].reshape(WIN // 128, 128)
-        idx = widx_ref[pl.ds(t * 8, 8), :].astype(jnp.int32) - start
+        idx = widx_ref[pl.ds(t * 8, 8), :].astype(jnp.int32)  # window-local
         hi = idx >> 7
         lo = idx & 127
         acc = jnp.zeros((8, 128), jnp.float32)
@@ -69,8 +72,8 @@ def _k1_kernel(border_ref, sb_ref, ws_ref, xlo_ref, xhi_ref, widx_ref, out_ref, 
 def k1_gather(x_padded, widx, border, sb, ws, *, interpret=False):
     """Per-edge gather: out[i] = x_padded[plan position of slot i].
 
-    x_padded: (nx,) f32 with nx a multiple of SLICE (>= (max(sb)+2)*SLICE).
-    widx: (nslots//128, 128) uint16 slice-local positions.
+    x_padded: (nx,) f32, nx a multiple of SLICE (>= (max(sb)+NSLICES)*SLICE).
+    widx: (nslots//128, 128) uint16 tile-window-local positions (< WIN).
     border: (nblocks,) int32 slice-major block visit order (prefetched);
         grid step k processes block border[k], so each x slice streams
         through VMEM exactly once even though blocks of different mids
@@ -87,17 +90,18 @@ def k1_gather(x_padded, widx, border, sb, ws, *, interpret=False):
         in_specs=[
             pl.BlockSpec((SLICE,), lambda k, bo, sb, ws: (sb[bo[k]],)),
             pl.BlockSpec((SLICE,), lambda k, bo, sb, ws: (sb[bo[k]] + 1,)),
+            pl.BlockSpec((SLICE,), lambda k, bo, sb, ws: (sb[bo[k]] + 2,)),
             pl.BlockSpec((BLK // 128, 128), lambda k, bo, sb, ws: (bo[k], 0)),
         ],
         out_specs=pl.BlockSpec((BLK // 128, 128), lambda k, bo, sb, ws: (bo[k], 0)),
-        scratch_shapes=[pltpu.VMEM((2 * SLICE,), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((NSLICES * SLICE,), jnp.float32)],
     )
     return pl.pallas_call(
         _k1_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nrows, 128), jnp.float32),
         interpret=interpret,
-    )(border, sb, ws, x_padded, x_padded, widx)
+    )(border, sb, ws, x_padded, x_padded, x_padded, widx)
 
 
 def _k2_kernel(meta_ref, v_ref, wa_ref, wb_ref, cidx_ref, out_ref, c_ref, y_ref):

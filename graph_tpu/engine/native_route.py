@@ -1,0 +1,74 @@
+"""ctypes binding for the native section-routing builder.
+
+See native/edge_plan.cpp.  Falls back to None when no compiler is
+available; plan.py then uses the pure-python routing in route.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_lib = None
+_lib_failed = False
+
+
+def _load():
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    try:
+        from graph_tpu.native.build import build_library
+
+        path = build_library("edge_plan.cpp")
+        lib = ctypes.CDLL(path)
+        lib.gt_build_sections.restype = ctypes.c_int
+        lib.gt_build_sections.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint16),
+            ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ]
+        _lib = lib
+    except Exception as exc:  # pragma: no cover - env without g++
+        log.warning("native edge_plan unavailable (%s); using python routing", exc)
+        _lib_failed = True
+    return _lib
+
+
+def build_sections_native(keys: np.ndarray, nthreads: int = 0):
+    """Route all sections at once. keys: (nsec*65536,) int32.
+
+    Returns (wa, wb, cidx, ws2, nsub) or None if the native library is
+    unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, np.int32)
+    nsec = keys.size // 65536
+    wa = np.empty(keys.size, np.uint16)
+    wb = np.empty(keys.size, np.uint16)
+    cidx = np.empty(keys.size, np.uint16)
+    ws2 = np.empty(nsec * 64, np.int32)
+    nsub = np.empty(nsec * 64, np.int32)
+    if nthreads <= 0:
+        nthreads = min(32, os.cpu_count() or 1)
+    rc = lib.gt_build_sections(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(nsec),
+        wa.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        wb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        cidx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        ws2.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        nsub.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int(nthreads),
+    )
+    if rc != 0:  # pragma: no cover
+        return None
+    return wa, wb, cidx, ws2, nsub

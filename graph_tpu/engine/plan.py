@@ -33,7 +33,8 @@ import numpy as np
 
 from graph_tpu.engine import route as _route
 from graph_tpu.engine.kernels import (
-    BLK, MID, PAIR_SPAN, SEC, SEC_R, SLICE, SPAN_BUDGET, TILE, TPB, WIN,
+    BLK, BLOCK_SPAN, MID, NSLICES, SEC, SEC_R, SLICE, SPAN_BUDGET, TILE,
+    TPB, WIN,
 )
 
 logger = logging.getLogger(__name__)
@@ -145,14 +146,14 @@ def build_plan(
         base = sb[b] * SLICE
         if srcs is not None and srcs.size:
             first_local = srcs[0] - base
-            ws[t] = min((first_local // 1024) * 1024, 2 * SLICE - WIN)
+            ws[t] = min((first_local // 1024) * 1024, NSLICES * SLICE - WIN)
         else:
             ws[t] = 0
-        fill = np.full(TILE, ws[t], np.int64)  # pads gather window start
+        fill = np.zeros(TILE, np.int64)  # pads gather window slot 0
         dloc = np.full(TILE, MID, np.int32)
         off = lead
         if srcs is not None and srcs.size:
-            fill[off:off + srcs.size] = srcs - base
+            fill[off:off + srcs.size] = srcs - base - ws[t]
             dloc[off:off + srcs.size] = tile_dstl[t]
         if lead:
             dloc[0] = -1
@@ -163,43 +164,64 @@ def build_plan(
     # slice-major block visit order (stream x through VMEM once)
     border = np.argsort(sb, kind="stable").astype(np.int32)
 
-    # ---- K2 per-section routing
-    wa = np.zeros((nsec * SEC_R, 128), np.uint16)
-    wb = np.zeros((nsec * SEC_R, 128), np.uint16)
-    cidx = np.zeros((nsec * SEC_R, 128), np.uint16)
-    meta = np.zeros(nsec * 129, np.int32)
-    for s in range(nsec):
-        keys = slot_dstl[s * SEC:(s + 1) * SEC]
-        sort_order = np.argsort(keys, kind="stable")
-        target = np.empty(SEC, np.int64)
-        target[sort_order] = np.arange(SEC)
-        idx = (_route.clos_route(target, SEC_R) if colorer is None
-               else colorer(target, SEC_R))
-        pad = ((keys == -1) | (keys == MID)).reshape(SEC_R, 128)
-        wa_s, wb_s = _route.pack_routing(idx, pad)
-        s_key = keys[sort_order]
-        e_d = (np.searchsorted(s_key, np.arange(MID), side="right") - 1)
-        assert e_d.min() >= 0
-        meta_s = np.zeros(129, np.int32)
-        ci = np.zeros(MID, np.uint16)
-        for t in range(64):
-            seg = e_d[t * 1024:(t + 1) * 1024]
-            base = (int(seg.min()) // 1024) * 1024
-            meta_s[1 + t] = base
-            meta_s[65 + t] = (int(seg.max()) - base) // 1024 + 1
-            ci[t * 1024:(t + 1) * 1024] = seg.astype(np.uint16)
-        meta_s[0] = 1 if (s == 0 or sec_mid_list[s] != sec_mid_list[s - 1]) else 0
-        wa[s * SEC_R:(s + 1) * SEC_R] = wa_s
-        wb[s * SEC_R:(s + 1) * SEC_R] = wb_s.reshape(SEC_R, 128)
-        cidx[s * SEC_R:(s + 1) * SEC_R] = ci.reshape(SEC_R, 128)
-        meta[s * 129:(s + 1) * 129] = meta_s
+    # ---- K2 per-section routing (native C++ when available)
+    sec_mid_arr = np.asarray(sec_mid_list, np.int32)
+    first_flags = np.ones(nsec, np.int32)
+    if nsec > 1:
+        first_flags[1:] = (sec_mid_arr[1:] != sec_mid_arr[:-1]).astype(np.int32)
+    native = None
+    if colorer is None:
+        from graph_tpu.engine.native_route import build_sections_native
 
-    nx = (max(int(sb.max()) + 2 if nblocks else 2, -(-n // SLICE) + 1)) * SLICE
+        native = build_sections_native(slot_dstl)
+    if native is not None:
+        wa_f, wb_f, cidx_f, ws2_f, nsub_f = native
+        wa = wa_f.reshape(nsec * SEC_R, 128)
+        wb = wb_f.reshape(nsec * SEC_R, 128)
+        cidx = cidx_f.reshape(nsec * SEC_R, 128)
+        meta = np.zeros(nsec * 129, np.int32)
+        mv = meta.reshape(nsec, 129)
+        mv[:, 0] = first_flags
+        mv[:, 1:65] = ws2_f.reshape(nsec, 64)
+        mv[:, 65:129] = nsub_f.reshape(nsec, 64)
+    else:
+        wa = np.zeros((nsec * SEC_R, 128), np.uint16)
+        wb = np.zeros((nsec * SEC_R, 128), np.uint16)
+        cidx = np.zeros((nsec * SEC_R, 128), np.uint16)
+        meta = np.zeros(nsec * 129, np.int32)
+        for s in range(nsec):
+            keys = slot_dstl[s * SEC:(s + 1) * SEC]
+            sort_order = np.argsort(keys, kind="stable")
+            target = np.empty(SEC, np.int64)
+            target[sort_order] = np.arange(SEC)
+            idx = (_route.clos_route(target, SEC_R) if colorer is None
+                   else colorer(target, SEC_R))
+            pad = ((keys == -1) | (keys == MID)).reshape(SEC_R, 128)
+            wa_s, wb_s = _route.pack_routing(idx, pad)
+            s_key = keys[sort_order]
+            e_d = (np.searchsorted(s_key, np.arange(MID), side="right") - 1)
+            assert e_d.min() >= 0
+            meta_s = np.zeros(129, np.int32)
+            ci = np.zeros(MID, np.uint16)
+            for t in range(64):
+                seg = e_d[t * 1024:(t + 1) * 1024]
+                base = (int(seg.min()) // 1024) * 1024
+                meta_s[1 + t] = base
+                meta_s[65 + t] = (int(seg.max()) - base) // 1024 + 1
+                ci[t * 1024:(t + 1) * 1024] = seg.astype(np.uint16)
+            meta_s[0] = first_flags[s]
+            wa[s * SEC_R:(s + 1) * SEC_R] = wa_s
+            wb[s * SEC_R:(s + 1) * SEC_R] = wb_s.reshape(SEC_R, 128)
+            cidx[s * SEC_R:(s + 1) * SEC_R] = ci.reshape(SEC_R, 128)
+            meta[s * 129:(s + 1) * 129] = meta_s
+
+    nx = (max(int(sb.max()) + NSLICES if nblocks else NSLICES,
+              -(-n // SLICE) + 1)) * SLICE
     plan = EdgePlan(
         n=n, m=m, nslots=nslots, nmid=nmid, nsec=nsec, nx=nx,
         widx=widx_flat.reshape(-1, 128), sb=sb, ws=ws, border=border,
         wa=wa, wb=wb, cidx=cidx, meta=meta,
-        sec_mid=np.asarray(sec_mid_list, np.int32),
+        sec_mid=sec_mid_arr,
     )
     logger.info(
         "EdgePlan: m=%d slots=%d (%.1f%% pad) mids=%d sections=%d in %.2fs",
@@ -236,13 +258,13 @@ def _layout_mid_with_dst(src, dstl, out_src, out_pad, out_dstl, slot0):
         if block_first < 0:
             block_first = first
         block_base = (block_first // SLICE) * SLICE
-        if first - block_base > PAIR_SPAN:
+        if first - block_base > BLOCK_SPAN:
             out_src.append(None)
             out_pad.append((TILE - lead, lead, None))
             out_dstl.append(None)
             slot += TILE
             continue
-        hi_span = min(first + SPAN_BUDGET, block_base + PAIR_SPAN)
+        hi_span = min(first + SPAN_BUDGET, block_base + BLOCK_SPAN)
         hi = np.searchsorted(src, hi_span, side="right")
         k = min(cap, hi - cur)
         out_src.append(src[cur:cur + k])

@@ -8,7 +8,9 @@ import numpy as np
 import pytest
 
 from graph_tpu.engine.route import clos_route, clos_apply_reference, edge_color
-from graph_tpu.engine.kernels import MID, SEC, SEC_R, SLICE, SPAN_BUDGET, TILE, TPB, WIN
+from graph_tpu.engine.kernels import (
+    MID, NSLICES, SEC, SEC_R, SLICE, SPAN_BUDGET, TILE, TPB, WIN,
+)
 from graph_tpu.engine.plan import build_plan
 
 
@@ -62,9 +64,9 @@ def test_plan_invariants():
         w = widx[t * TILE : (t + 1) * TILE].astype(np.int64)
         ws = plan.ws[t]
         assert ws % 1024 == 0
-        assert ws + WIN <= 2 * SLICE
-        # every slot's gather index falls inside the tile window
-        assert (w >= ws).all() and (w < ws + WIN).all()
+        assert ws + WIN <= NSLICES * SLICE
+        # every slot's gather index is tile-window-local
+        assert (w >= 0).all() and (w < WIN).all()
     # border is a permutation ordered by slice
     assert np.array_equal(np.sort(plan.border), np.arange(plan.sb.size))
     assert (np.diff(plan.sb[plan.border]) >= 0).all()
