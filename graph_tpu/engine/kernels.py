@@ -134,11 +134,23 @@ def _k2_kernel(meta_ref, v_ref, wa_ref, wb_ref, cidx_ref, out_ref, c_ref, y_ref)
     v = jnp.take_along_axis(v, (wa >> 7) & 127, axis=1)
     # v is destination-sorted (lead pad first, tail pads last)
 
-    # ---- int32 fixed-point inclusive cumsum over the flat section
-    q = jnp.round(v * jnp.float32(1 << FIXED_BITS)).astype(jnp.int32)
+    # ---- int32 fixed-point inclusive cumsum over the flat section.
+    # Lane cumsum on the MXU: split q into two 15-bit halves (exact in
+    # f32), multiply by an upper-triangular ones matrix (row sums stay
+    # below 2**24 so the f32 accumulation is exact), recombine in int32
+    # (wraparound arithmetic keeps totals exact mod 2**32).
+    q0 = jnp.round(v * jnp.float32(1 << FIXED_BITS)).astype(jnp.int32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (SEC_R, 128), 1)
-    for sh in (1, 2, 4, 8, 16, 32, 64):
-        q = q + jnp.where(lane >= sh, pltpu.roll(q, sh, 1), 0)
+    q_lo = (q0 & 0x7FFF).astype(jnp.float32)
+    q_hi = jax.lax.shift_right_arithmetic(q0, 15).astype(jnp.float32)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    ut = (rr <= cc).astype(jnp.float32)
+    cs_lo = jax.lax.dot_general(q_lo, ut, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    cs_hi = jax.lax.dot_general(q_hi, ut, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    q = cs_hi.astype(jnp.int32) * 32768 + cs_lo.astype(jnp.int32)
     rowsum = q[:, 127:128]
     c4 = rowsum.reshape(4, 128)
     lane4 = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 1)
@@ -152,27 +164,31 @@ def _k2_kernel(meta_ref, v_ref, wa_ref, wb_ref, cidx_ref, out_ref, c_ref, y_ref)
     c_ref[:] = q + offs
 
     # ---- monotone window compaction: cells[d] = C[e_d]
-    def tile_body(t, _):
-        base = pl.multiple_of(meta_ref[mbase + 1 + t], 1024)
-        nsb = meta_ref[mbase + 65 + t]
-        local = cidx_ref[pl.ds(t * 8, 8), :].astype(jnp.int32) - base
-        hi = local >> 7
-        lo = local & 127
+    # 4 cell tiles per loop step to amortize the scalar-unit loop cost.
+    def quad_body(t4, _):
+        for u in range(4):
+            t = t4 * 4 + u
+            base = pl.multiple_of(meta_ref[mbase + 1 + t], 1024)
+            nsb = meta_ref[mbase + 65 + t]
+            local = cidx_ref[pl.ds(t * 8, 8), :].astype(jnp.int32) - base
+            hi = local >> 7
+            lo = local & 127
 
-        def sub(jj, acc):
-            row0 = pl.multiple_of(base // 128 + jj * 8, 8)
-            win = c_ref[pl.ds(row0, 8), :]
-            for h in range(8):
-                rowv = jax.lax.broadcast_in_dim(win[h], (8, 128), (1,))
-                g = jnp.take_along_axis(rowv, lo, axis=1)
-                acc = jnp.where(hi == jj * 8 + h, g, acc)
-            return acc
+            def sub(jj, acc, base=base, hi=hi, lo=lo):
+                row0 = pl.multiple_of(base // 128 + jj * 8, 8)
+                win = c_ref[pl.ds(row0, 8), :]
+                for h in range(8):
+                    rowv = jax.lax.broadcast_in_dim(win[h], (8, 128), (1,))
+                    g = jnp.take_along_axis(rowv, lo, axis=1)
+                    acc = jnp.where(hi == jj * 8 + h, g, acc)
+                return acc
 
-        acc = jax.lax.fori_loop(0, nsb, sub, jnp.zeros((8, 128), jnp.int32))
-        y_ref[pl.ds(t * 8, 8), :] = acc
+            acc = jax.lax.fori_loop(
+                0, nsb, sub, jnp.zeros((8, 128), jnp.int32))
+            y_ref[pl.ds(t * 8, 8), :] = acc
         return 0
 
-    jax.lax.fori_loop(0, 64, tile_body, 0)
+    jax.lax.fori_loop(0, 16, quad_body, 0)
     cells = y_ref[:]
 
     # ---- y_add[d] = cells[d] - cells[d-1] (flat shift by one)
