@@ -214,33 +214,15 @@ def page_rank_reference(
 # ---------------------------------------------------------------------------
 # EdgeEngine-based PageRank (engine="plan")
 
-_ENGINE_CACHE: "weakref.WeakKeyDictionary" = None  # lazy
-
-
 def _graph_engine(graph: DirectedCsrGraph):
-    """Build (and weakly cache) the EdgeEngine for a graph's edges."""
-    global _ENGINE_CACHE
-    import weakref
+    """Build (and cache per graph identity) the forward-edge EdgeEngine."""
+    from graph_tpu.engine.engine import EdgeEngine, engine_for
 
-    from graph_tpu.engine.engine import EdgeEngine
-
-    if _ENGINE_CACHE is None:
-        _ENGINE_CACHE = weakref.WeakKeyDictionary()
-    try:
-        eng = _ENGINE_CACHE.get(graph)
-    except TypeError:  # not weakref-able
-        eng = None
-    if eng is None:
-        eng = EdgeEngine.build(
-            np.asarray(graph.csr_out.sources),
-            np.asarray(graph.csr_out.targets),
-            graph.node_count,
-        )
-        try:
-            _ENGINE_CACHE[graph] = eng
-        except TypeError:
-            pass
-    return eng
+    return engine_for(graph, "fwd", lambda: EdgeEngine.build(
+        np.asarray(graph.csr_out.sources),
+        np.asarray(graph.csr_out.targets),
+        graph.node_count,
+    ))
 
 
 def _page_rank_plan(graph: DirectedCsrGraph, config: PageRankConfig) -> PageRankResult:
@@ -257,6 +239,15 @@ def _page_rank_plan(graph: DirectedCsrGraph, config: PageRankConfig) -> PageRank
     max_iterations = int(config.max_iterations)
     tolerance = jnp.float32(config.tolerance)
     damping = jnp.float32(config.damping_factor)
+
+    run = getattr(eng, "_pr_runs", {}).get(max_iterations)
+    if run is not None:
+        start = time.perf_counter()
+        scores, _, iters, err = run(outdeg, eng.dev)
+        scores.block_until_ready()
+        micros = int((time.perf_counter() - start) * 1e6)
+        return PageRankResult(scores=scores, ran_iterations=int(iters),
+                              error=float(err), micros=micros)
 
     @jax.jit
     def run(outdeg, dev):
@@ -281,6 +272,10 @@ def _page_rank_plan(graph: DirectedCsrGraph, config: PageRankConfig) -> PageRank
             cond, body,
             (scores0, scores0 * inv_outdeg, jnp.int32(0), jnp.float32(jnp.inf)),
         )
+
+    if not hasattr(eng, "_pr_runs"):
+        eng._pr_runs = {}
+    eng._pr_runs[max_iterations] = run
 
     start = time.perf_counter()
     scores, _, iters, err = run(outdeg, eng.dev)

@@ -54,6 +54,7 @@ class WccConfig:
     chunk_size: int = 16384
     neighbor_rounds: int = 2
     sampling_size: int = 1024
+    engine: str = "auto"  # "xla" | "plan" | "auto" (TPU-specific)
 
     DEFAULT_CHUNK_SIZE = 16384
     DEFAULT_NEIGHBOR_ROUNDS = 2
@@ -118,7 +119,13 @@ def wcc(
     Mirrors ``wcc_afforest_dss(&g, WccConfig) -> impl Components``
     (wcc.rs:144); accepts directed or undirected CSR graphs.
     """
-    del config  # parity-only, see WccConfig docstring
+    config = config or WccConfig()
+    engine = getattr(config, "engine", "auto")
+    if engine == "auto":
+        engine = ("plan" if graph.edge_count >= (1 << 21)
+                  and graph.node_count <= (1 << 24) else "xla")
+    if engine == "plan":
+        return _wcc_plan(graph)
     start = time.perf_counter()
     if isinstance(graph, UndirectedCsrGraph):
         # Both directions already present in the single CSR.
@@ -138,3 +145,69 @@ def wcc(
 def wcc_components(graph, config: Optional[WccConfig] = None) -> jax.Array:
     """Convenience: just the component-id array."""
     return wcc(graph, config).components
+
+
+# ---------------------------------------------------------------------------
+# EdgeEngine-based WCC (engine="plan"): vectorized min-label hooks
+
+def _sym_engine(graph):
+    """EdgeEngine over the symmetrized edge list (weakly connected)."""
+    from graph_tpu.engine.engine import EdgeEngine, engine_for
+
+    def build():
+        if isinstance(graph, UndirectedCsrGraph):
+            src = np.asarray(graph.csr.sources)
+            dst = np.asarray(graph.csr.targets)
+        else:
+            s0 = np.asarray(graph.csr_out.sources)
+            t0 = np.asarray(graph.csr_out.targets)
+            src = np.concatenate([s0, t0])
+            dst = np.concatenate([t0, s0])
+        return EdgeEngine.build(src, dst, graph.node_count)
+
+    return engine_for(graph, "sym", build)
+
+
+def _wcc_plan(graph) -> WccResult:
+    """Min-label propagation with the EdgeEngine's segment-min kernel.
+
+    Labels are node ids carried in f32 (exact for n <= 2**24); hooks are
+    one engine pass over the symmetrized edges; pointer jumps use an
+    n-sized XLA gather (cheap relative to the m-sized hook).
+    """
+    eng = _sym_engine(graph)
+    n = graph.node_count
+
+    run = getattr(eng, "_wcc_run", None)
+    if run is None:
+        @jax.jit
+        def run(dev):
+            comp0 = jnp.arange(n, dtype=jnp.float32)
+
+            def cond(state):
+                _, changed, _ = state
+                return changed
+
+            def body(state):
+                comp, _, it = state
+                new = jnp.minimum(comp, eng.smin_dev(dev, comp))
+                idx = new.astype(jnp.int32)
+                new = new[idx]          # jump (squares pointer chains)
+                new = new[new.astype(jnp.int32)]
+                changed = jnp.any(new != comp)
+                return new, changed, it + 1
+
+            comp, _, iters = jax.lax.while_loop(
+                cond, body, (comp0, jnp.bool_(True), jnp.int32(0)))
+            return comp, iters
+
+        eng._wcc_run = run  # one compile per engine
+
+    start = time.perf_counter()
+    comp, iters = run(eng.dev)
+    comp.block_until_ready()
+    micros = int((time.perf_counter() - start) * 1e6)
+    comp = comp.astype(graph.csr_out.targets.dtype
+                       if isinstance(graph, DirectedCsrGraph)
+                       else graph.csr.targets.dtype)
+    return WccResult(components=comp, ran_iterations=int(iters), micros=micros)

@@ -53,4 +53,46 @@ class EdgeEngine:
                            interpret=self.interpret)
         return y_mids.reshape(-1)[: p.n]
 
+    def smin(self, x: jax.Array) -> jax.Array:
+        """y[d] = min over edges (s -> d) of x[s]; empty rows get +3e38.
 
+        Values must be exact in f32 (component labels up to 2**24 are).
+        """
+        return self.smin_dev(self.dev, x)
+
+    def smin_dev(self, dev, x: jax.Array) -> jax.Array:
+        from graph_tpu.engine.kernels import INF
+
+        p = self.plan
+        xp = jnp.full(p.nx, INF, jnp.float32).at[: p.n].set(x)
+        contrib = k1_gather(xp, dev["widx"], dev["border"], dev["sb"],
+                            dev["ws"], interpret=self.interpret)
+        y_mids = k2_reduce(contrib, dev["wa"], dev["wb"], dev["cidx"],
+                           dev["meta"], dev["sec_mid"], p.nmid, op="min",
+                           sstart=dev["sstart"], interpret=self.interpret)
+        return y_mids.reshape(-1)[: p.n]
+
+
+
+
+# ---------------------------------------------------------------------------
+# Per-graph engine cache.  Graph pytrees hold jax arrays (unhashable),
+# so key by object identity and evict via weakref finalizers.
+
+_GRAPH_ENGINES = {}
+
+
+def engine_for(graph, kind: str, build_fn):
+    """Return a cached engine for (graph, kind), building on first use."""
+    import weakref
+
+    key = (id(graph), kind)
+    eng = _GRAPH_ENGINES.get(key)
+    if eng is None:
+        eng = build_fn()
+        _GRAPH_ENGINES[key] = eng
+        try:
+            weakref.finalize(graph, _GRAPH_ENGINES.pop, key, None)
+        except TypeError:
+            pass
+    return eng

@@ -104,9 +104,16 @@ def k1_gather(x_padded, widx, border, sb, ws, *, interpret=False):
     )(border, sb, ws, x_padded, x_padded, x_padded, widx)
 
 
-def _k2_kernel(meta_ref, v_ref, wa_ref, wb_ref, cidx_ref, out_ref, c_ref, y_ref):
-    """Per-section: Benes route -> fixed-point cumsum -> compact -> accumulate.
+INF = 3.0e38  # +inf stand-in that is a python literal (kernels cannot capture traced constants)
 
+
+def _k2_kernel(meta_ref, v_ref, wa_ref, wb_ref, cidx_ref, out_ref, c_ref,
+               y_ref, *, op="sum", ss_ref=None):
+    """Per-section: Benes route -> segment reduce -> compact -> accumulate.
+
+    op="sum": int32 fixed-point cumulative sums (wraparound-exact).
+    op="min": f32 segmented min-scan over build-time segment starts
+              (ss_ref, uint16 sorted-layout positions).
     meta layout per section (int32): [first_of_mid, ws2[64], nsub[64]] = 129.
     """
     sec = pl.program_id(0)
@@ -114,7 +121,7 @@ def _k2_kernel(meta_ref, v_ref, wa_ref, wb_ref, cidx_ref, out_ref, c_ref, y_ref)
 
     wa = wa_ref[:].astype(jnp.int32)
     v = v_ref[:]
-    v = jnp.where((wa >> 15) == 1, 0.0, v)
+    v = jnp.where((wa >> 15) == 1, 0.0 if op == "sum" else INF, v)
 
     # ---- Benes stages (A, T, B, C, D, T', E)
     v = jnp.take_along_axis(v, wa & 127, axis=1)
@@ -134,34 +141,83 @@ def _k2_kernel(meta_ref, v_ref, wa_ref, wb_ref, cidx_ref, out_ref, c_ref, y_ref)
     v = jnp.take_along_axis(v, (wa >> 7) & 127, axis=1)
     # v is destination-sorted (lead pad first, tail pads last)
 
-    # ---- int32 fixed-point inclusive cumsum over the flat section.
-    # Lane cumsum on the MXU: split q into two 15-bit halves (exact in
-    # f32), multiply by an upper-triangular ones matrix (row sums stay
-    # below 2**24 so the f32 accumulation is exact), recombine in int32
-    # (wraparound arithmetic keeps totals exact mod 2**32).
-    q0 = jnp.round(v * jnp.float32(1 << FIXED_BITS)).astype(jnp.int32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (SEC_R, 128), 1)
-    q_lo = (q0 & 0x7FFF).astype(jnp.float32)
-    q_hi = jax.lax.shift_right_arithmetic(q0, 15).astype(jnp.float32)
-    rr = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-    cc = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-    ut = (rr <= cc).astype(jnp.float32)
-    cs_lo = jax.lax.dot_general(q_lo, ut, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-    cs_hi = jax.lax.dot_general(q_hi, ut, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-    q = cs_hi.astype(jnp.int32) * 32768 + cs_lo.astype(jnp.int32)
-    rowsum = q[:, 127:128]
-    c4 = rowsum.reshape(4, 128)
-    lane4 = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 1)
-    for sh in (1, 2, 4, 8, 16, 32, 64):
-        c4 = c4 + jnp.where(lane4 >= sh, pltpu.roll(c4, sh, 1), 0)
-    gt = jax.lax.broadcast_in_dim(c4[:, 127], (4, 128), (0,))
-    row4 = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 0)
-    for k in (1, 2, 3):
-        c4 = c4 + jnp.where(row4 >= k, pltpu.roll(gt, k, 0), 0)
-    offs = c4.reshape(SEC_R, 1) - rowsum
-    c_ref[:] = q + offs
+    if op == "sum":
+        # ---- int32 fixed-point inclusive cumsum over the flat section.
+        # Lane cumsum on the MXU: split q into two 15-bit halves (exact
+        # in f32), multiply by an upper-triangular ones matrix (row sums
+        # stay below 2**24 so the f32 accumulation is exact), recombine
+        # in int32 (wraparound keeps totals exact mod 2**32).
+        q0 = jnp.round(v * jnp.float32(1 << FIXED_BITS)).astype(jnp.int32)
+        q_lo = (q0 & 0x7FFF).astype(jnp.float32)
+        q_hi = jax.lax.shift_right_arithmetic(q0, 15).astype(jnp.float32)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        ut = (rr <= cc).astype(jnp.float32)
+        cs_lo = jax.lax.dot_general(q_lo, ut, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        cs_hi = jax.lax.dot_general(q_hi, ut, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        q = cs_hi.astype(jnp.int32) * 32768 + cs_lo.astype(jnp.int32)
+        rowsum = q[:, 127:128]
+        c4 = rowsum.reshape(4, 128)
+        lane4 = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 1)
+        for sh in (1, 2, 4, 8, 16, 32, 64):
+            c4 = c4 + jnp.where(lane4 >= sh, pltpu.roll(c4, sh, 1), 0)
+        gt = jax.lax.broadcast_in_dim(c4[:, 127], (4, 128), (0,))
+        row4 = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 0)
+        for k in (1, 2, 3):
+            c4 = c4 + jnp.where(row4 >= k, pltpu.roll(gt, k, 0), 0)
+        offs = c4.reshape(SEC_R, 1) - rowsum
+        c_ref[:] = q + offs
+    else:
+        # ---- f32 segmented min-scan: S[i] = min v over [sstart[i], i].
+        # Level 1: within rows of 128 (masked log shifts; combining at
+        # distance sh is valid iff i-sh is in the same segment, i.e.
+        # i - sh >= sstart[i] -- positions of one segment share sstart).
+        ss = ss_ref[:].astype(jnp.int32)            # absolute start pos
+        rowstart = (jax.lax.broadcasted_iota(jnp.int32, (SEC_R, 128), 0)
+                    * 128)
+        local_start = ss - rowstart                  # may be negative
+        q = v
+        for sh in (1, 2, 4, 8, 16, 32, 64):
+            cand = pltpu.roll(q, sh, 1)
+            ok = (lane >= sh) & ((lane - sh) >= local_start)
+            q = jnp.minimum(q, jnp.where(ok, cand, INF))
+        # q[r, l] = min over [max(sstart, r*128), r*128+l]
+        # Level 2: row carries.  Row-end values R[r] = q[r,127]; row-
+        # level starts rs[r] = row(sstart[r,0]).  Inclusive row-level
+        # scan over (4,128) with the same masked-shift rule, combining
+        # whole previous rows only when the segment covers them.
+        rvals = q[:, 127].reshape(4, 128)
+        # row-level segment key: the row where the segment covering THIS
+        # row's END starts (rows of one segment share it; using the
+        # start-covering segment instead would leak foreign segments
+        # into the carry)
+        rs_row = (ss[:, 127] // 128).reshape(4, 128)
+        rowidx4 = (jax.lax.broadcasted_iota(jnp.int32, (4, 128), 0) * 128
+                   + jax.lax.broadcasted_iota(jnp.int32, (4, 128), 1))
+        lane4 = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 1)
+        rscan = rvals
+        for sh in (1, 2, 4, 8, 16, 32, 64):
+            cand = pltpu.roll(rscan, sh, 1)
+            ok = (lane4 >= sh) & ((rowidx4 - sh) >= rs_row)
+            rscan = jnp.minimum(rscan, jnp.where(ok, cand, INF))
+        # cross-group combines (shift 128, 256 rows): use previous
+        # group's full scan-at-end value.
+        row4 = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 0)
+        for gsh in (1, 2):
+            gend = jax.lax.broadcast_in_dim(rscan[:, 127], (4, 128), (0,))
+            cand = pltpu.roll(gend, gsh, 0)
+            ok = (row4 >= gsh) & (rs_row <= (row4 - gsh) * 128)
+            rscan = jnp.minimum(rscan, jnp.where(ok, cand, INF))
+        # rscan[r] = min over rows [row(rs), r] of row pieces
+        # carry into each row = exclusive version (previous row's scan)
+        carry = pltpu.roll(rscan.reshape(SEC_R, 1), 1, 0)
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (SEC_R, 128), 0)
+        use_carry = (ss < rowstart) & (rowid > 0)
+        S = jnp.minimum(q, jnp.where(use_carry, carry, INF))
+        c_ref[:] = pltpu.bitcast(S, jnp.int32)
 
     # ---- monotone window compaction: cells[d] = C[e_d]
     # 4 cell tiles per loop step to amortize the scalar-unit loop cost.
@@ -191,22 +247,39 @@ def _k2_kernel(meta_ref, v_ref, wa_ref, wb_ref, cidx_ref, out_ref, c_ref, y_ref)
     jax.lax.fori_loop(0, 16, quad_body, 0)
     cells = y_ref[:]
 
-    # ---- y_add[d] = cells[d] - cells[d-1] (flat shift by one)
-    prev_rows = pltpu.roll(cells, 1, 0)
-    lane_sh = pltpu.roll(cells, 1, 1)
-    col0 = prev_rows[:, 127:128]
+    # ---- flat shift-by-one of the cell index stream (for presence /
+    # difference against the previous destination's cell)
+    ci = cidx_ref[:].astype(jnp.int32)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (SEC_R, 128), 0)
-    shifted = jnp.where(lane == 0, col0, lane_sh)
-    shifted = jnp.where((lane == 0) & (row_ids == 0), 0, shifted)
-    y_add = (cells - shifted).astype(jnp.float32) / jnp.float32(1 << FIXED_BITS)
 
-    @pl.when(meta_ref[mbase] == 1)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-    out_ref[:] += y_add
+    def shift_flat(a, fill):
+        prev_rows = pltpu.roll(a, 1, 0)
+        lane_sh = pltpu.roll(a, 1, 1)
+        col0 = prev_rows[:, 127:128]
+        sh = jnp.where(lane == 0, col0, lane_sh)
+        return jnp.where((lane == 0) & (row_ids == 0), fill, sh)
+
+    if op == "sum":
+        y_add = ((cells - shift_flat(cells, 0)).astype(jnp.float32)
+                 / jnp.float32(1 << FIXED_BITS))
+
+        @pl.when(meta_ref[mbase] == 1)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+        out_ref[:] += y_add
+    else:
+        # destination present in this section iff its segment end moved
+        present = ci > shift_flat(ci, -1)
+        y_min = jnp.where(present, pltpu.bitcast(cells, jnp.float32), INF)
+
+        @pl.when(meta_ref[mbase] == 1)
+        def _():
+            out_ref[:] = jnp.full_like(out_ref, INF)
+        out_ref[:] = jnp.minimum(out_ref[:], y_min)
 
 
-def k2_reduce(contrib, wa, wb, cidx, meta, sec_mid, nmid, *, interpret=False):
+def k2_reduce(contrib, wa, wb, cidx, meta, sec_mid, nmid, *, op="sum",
+              sstart=None, interpret=False):
     """Segment-sum contributions into per-mid y blocks.
 
     contrib: (nsec*512, 128) f32 in section order.
@@ -219,15 +292,11 @@ def k2_reduce(contrib, wa, wb, cidx, meta, sec_mid, nmid, *, interpret=False):
     """
     nsec = contrib.shape[0] // SEC_R
     sec_mid = sec_mid.astype(jnp.int32)
+    n_in = 4 if op == "sum" else 5
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # sec_mid, meta
         grid=(nsec,),
-        in_specs=[
-            pl.BlockSpec((SEC_R, 128), lambda k, sm, mt: (k, 0)),
-            pl.BlockSpec((SEC_R, 128), lambda k, sm, mt: (k, 0)),
-            pl.BlockSpec((SEC_R, 128), lambda k, sm, mt: (k, 0)),
-            pl.BlockSpec((SEC_R, 128), lambda k, sm, mt: (k, 0)),
-        ],
+        in_specs=[pl.BlockSpec((SEC_R, 128), lambda k, sm, mt: (k, 0))] * n_in,
         out_specs=pl.BlockSpec((SEC_R, 128), lambda k, sm, mt: (sm[k], 0)),
         scratch_shapes=[
             pltpu.VMEM((SEC_R, 128), jnp.int32),
@@ -235,14 +304,22 @@ def k2_reduce(contrib, wa, wb, cidx, meta, sec_mid, nmid, *, interpret=False):
         ],
     )
 
-    def kernel(sm_ref, meta_ref, v_ref, wa_ref, wb_ref, cidx_ref, out_ref,
-               c_ref, y_ref):
-        _k2_kernel(meta_ref, v_ref, wa_ref, wb_ref, cidx_ref, out_ref,
-                   c_ref, y_ref)
+    if op == "sum":
+        def kernel(sm_ref, meta_ref, v_ref, wa_ref, wb_ref, cidx_ref,
+                   out_ref, c_ref, y_ref):
+            _k2_kernel(meta_ref, v_ref, wa_ref, wb_ref, cidx_ref, out_ref,
+                       c_ref, y_ref, op="sum")
+        args = (sec_mid, meta, contrib, wa, wb, cidx)
+    else:
+        def kernel(sm_ref, meta_ref, v_ref, wa_ref, wb_ref, cidx_ref,
+                   ss_ref, out_ref, c_ref, y_ref):
+            _k2_kernel(meta_ref, v_ref, wa_ref, wb_ref, cidx_ref, out_ref,
+                       c_ref, y_ref, op="min", ss_ref=ss_ref)
+        args = (sec_mid, meta, contrib, wa, wb, cidx, sstart)
 
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nmid * SEC_R, 128), jnp.float32),
         interpret=interpret,
-    )(sec_mid, meta, contrib, wa, wb, cidx)
+    )(*args)

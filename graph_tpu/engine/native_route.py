@@ -31,8 +31,9 @@ def _load():
         lib.gt_build_sections.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint16),
-            ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint16),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int,
         ]
         _lib = lib
     except Exception as exc:  # pragma: no cover - env without g++
@@ -44,8 +45,8 @@ def _load():
 def build_sections_native(keys: np.ndarray, nthreads: int = 0):
     """Route all sections at once. keys: (nsec*65536,) int32.
 
-    Returns (wa, wb, cidx, ws2, nsub) or None if the native library is
-    unavailable.
+    Returns (wa, wb, cidx, sstart, ws2, nsub) or None if the native
+    library is unavailable.
     """
     lib = _load()
     if lib is None:
@@ -55,6 +56,7 @@ def build_sections_native(keys: np.ndarray, nthreads: int = 0):
     wa = np.empty(keys.size, np.uint16)
     wb = np.empty(keys.size, np.uint16)
     cidx = np.empty(keys.size, np.uint16)
+    sstart = np.empty(keys.size, np.uint16)
     ws2 = np.empty(nsec * 64, np.int32)
     nsub = np.empty(nsec * 64, np.int32)
     if nthreads <= 0:
@@ -65,10 +67,11 @@ def build_sections_native(keys: np.ndarray, nthreads: int = 0):
         wa.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         wb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         cidx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        sstart.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         ws2.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         nsub.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         ctypes.c_int(nthreads),
     )
     if rc != 0:  # pragma: no cover
         return None
-    return wa, wb, cidx, ws2, nsub
+    return wa, wb, cidx, sstart, ws2, nsub

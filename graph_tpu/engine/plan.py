@@ -59,6 +59,7 @@ class EdgePlan:
     wa: np.ndarray       # (nsec*512, 128) uint16
     wb: np.ndarray       # (nsec*512, 128) uint16
     cidx: np.ndarray     # (nsec*512, 128) uint16
+    sstart: np.ndarray   # (nsec*512, 128) uint16 segment-start positions
     meta: np.ndarray     # (nsec*129,) int32
     sec_mid: np.ndarray  # (nsec,) int32
 
@@ -73,6 +74,7 @@ class EdgePlan:
             "wa": jnp.asarray(self.wa),
             "wb": jnp.asarray(self.wb),
             "cidx": jnp.asarray(self.cidx),
+            "sstart": jnp.asarray(self.sstart),
             "meta": jnp.asarray(self.meta),
             "sec_mid": jnp.asarray(self.sec_mid),
         }
@@ -175,10 +177,11 @@ def build_plan(
 
         native = build_sections_native(slot_dstl)
     if native is not None:
-        wa_f, wb_f, cidx_f, ws2_f, nsub_f = native
+        wa_f, wb_f, cidx_f, sstart_f, ws2_f, nsub_f = native
         wa = wa_f.reshape(nsec * SEC_R, 128)
         wb = wb_f.reshape(nsec * SEC_R, 128)
         cidx = cidx_f.reshape(nsec * SEC_R, 128)
+        sstart = sstart_f.reshape(nsec * SEC_R, 128)
         meta = np.zeros(nsec * 129, np.int32)
         mv = meta.reshape(nsec, 129)
         mv[:, 0] = first_flags
@@ -188,6 +191,7 @@ def build_plan(
         wa = np.zeros((nsec * SEC_R, 128), np.uint16)
         wb = np.zeros((nsec * SEC_R, 128), np.uint16)
         cidx = np.zeros((nsec * SEC_R, 128), np.uint16)
+        sstart = np.zeros((nsec * SEC_R, 128), np.uint16)
         meta = np.zeros(nsec * 129, np.int32)
         for s in range(nsec):
             keys = slot_dstl[s * SEC:(s + 1) * SEC]
@@ -199,6 +203,9 @@ def build_plan(
             pad = ((keys == -1) | (keys == MID)).reshape(SEC_R, 128)
             wa_s, wb_s = _route.pack_routing(idx, pad)
             s_key = keys[sort_order]
+            ss_s = np.searchsorted(s_key, s_key, side="left")
+            sstart[s * SEC_R:(s + 1) * SEC_R] = (
+                ss_s.astype(np.uint16).reshape(SEC_R, 128))
             e_d = (np.searchsorted(s_key, np.arange(MID), side="right") - 1)
             assert e_d.min() >= 0
             meta_s = np.zeros(129, np.int32)
@@ -220,7 +227,7 @@ def build_plan(
     plan = EdgePlan(
         n=n, m=m, nslots=nslots, nmid=nmid, nsec=nsec, nx=nx,
         widx=widx_flat.reshape(-1, 128), sb=sb, ws=ws, border=border,
-        wa=wa, wb=wb, cidx=cidx, meta=meta,
+        wa=wa, wb=wb, cidx=cidx, sstart=sstart, meta=meta,
         sec_mid=sec_mid_arr,
     )
     logger.info(

@@ -108,8 +108,8 @@ void edge_color(const int32_t* l, const int32_t* r, int n, int d,
 
 // Route one section. keys: SEC int32 (-1 lead pad, MID tail pad).
 void build_one_section(const int32_t* keys, uint16_t* wa, uint16_t* wb,
-                       uint16_t* cidx, int32_t* ws2, int32_t* nsub,
-                       Scratch& s) {
+                       uint16_t* cidx, uint16_t* sstart, int32_t* ws2,
+                       int32_t* nsub, Scratch& s) {
     // ---- stable counting sort by key (+1 -> [0, MID+2))
     s.cnt.assign(MID + 3, 0);
     for (int i = 0; i < SEC; i++) s.cnt[keys[i] + 2]++;
@@ -118,8 +118,12 @@ void build_one_section(const int32_t* keys, uint16_t* wa, uint16_t* wb,
     s.target.resize(SEC);
     {
         std::vector<int32_t> cursor(s.cnt.begin(), s.cnt.end() - 1);
-        for (int i = 0; i < SEC; i++)
-            s.target[i] = cursor[keys[i] + 1]++;
+        for (int i = 0; i < SEC; i++) {
+            int32_t t = cursor[keys[i] + 1]++;
+            s.target[i] = t;
+            // first sorted position of this key = segment start
+            sstart[t] = (uint16_t)s.cnt[keys[i] + 1];
+        }
     }
 
     // ---- outer Clos: grid (R=512 rows, 128 cols)
@@ -204,8 +208,8 @@ extern "C" {
 // keys: (nsec, 65536) int32; wa/wb/cidx: (nsec, 65536) uint16;
 // ws2/nsub: (nsec, 64) int32. Returns 0 on success.
 int gt_build_sections(const int32_t* keys, int64_t nsec, uint16_t* wa,
-                      uint16_t* wb, uint16_t* cidx, int32_t* ws2,
-                      int32_t* nsub, int nthreads) {
+                      uint16_t* wb, uint16_t* cidx, uint16_t* sstart,
+                      int32_t* ws2, int32_t* nsub, int nthreads) {
     if (nthreads < 1) nthreads = 1;
     std::vector<std::thread> pool;
     std::atomic<int64_t> next{0};
@@ -215,7 +219,8 @@ int gt_build_sections(const int32_t* keys, int64_t nsec, uint16_t* wa,
             int64_t i = next.fetch_add(1);
             if (i >= nsec) return;
             build_one_section(keys + i * SEC, wa + i * SEC, wb + i * SEC,
-                              cidx + i * SEC, ws2 + i * 64, nsub + i * 64, s);
+                              cidx + i * SEC, sstart + i * SEC,
+                              ws2 + i * 64, nsub + i * 64, s);
         }
     };
     for (int t = 0; t < nthreads; t++) pool.emplace_back(worker);

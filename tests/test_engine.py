@@ -103,3 +103,44 @@ def test_engine_spmv_two_mids_interpret():
     y_exp = np.zeros(n, np.float64)
     np.add.at(y_exp, dst, np.round(x[src].astype(np.float64) * (1 << 30)) / (1 << 30))
     assert np.abs(y - y_exp).max() < 1e-6
+
+
+def test_engine_smin_interpret():
+    n, m = 3000, 12000
+    src, dst = _random_graph(n, m, seed=21)
+    from graph_tpu.engine.engine import EdgeEngine
+
+    eng = EdgeEngine.build(src, dst, n, interpret=True)
+    x = rng.integers(0, n, n).astype(np.float32)
+    import jax.numpy as jnp
+
+    y = np.asarray(eng.smin(jnp.asarray(x)))
+    y_exp = np.full(n, 3.0e38, np.float32)
+    np.minimum.at(y_exp, dst, x[src])
+    assert np.array_equal(y, y_exp)
+
+
+def test_wcc_plan_matches_xla():
+    import jax.numpy as jnp
+
+    from graph_tpu.graph.build import build_directed
+    from graph_tpu.algos.wcc import wcc, WccConfig
+    from graph_tpu.engine import engine as eng_mod
+    from graph_tpu.engine.engine import EdgeEngine, engine_for
+
+    n, m = 2000, 8000
+    g = np.random.default_rng(5)
+    block = g.integers(0, 2, m) * (n // 2)
+    src = g.integers(0, n // 2, m) + block
+    dst = g.integers(0, n // 2, m) + block
+    graph = build_directed(jnp.asarray(src), jnp.asarray(dst), node_count=n)
+    r_x = wcc(graph, WccConfig(engine="xla"))
+
+    # interpret-mode engine injected through the cache
+    s0, t0 = src, dst
+    sym = EdgeEngine.build(np.concatenate([s0, t0]), np.concatenate([t0, s0]),
+                           n, interpret=True)
+    eng_mod._GRAPH_ENGINES[(id(graph), "sym")] = sym
+    r_p = wcc(graph, WccConfig(engine="plan"))
+    assert np.array_equal(np.asarray(r_x.components),
+                          np.asarray(r_p.components))
