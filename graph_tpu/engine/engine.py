@@ -25,9 +25,11 @@ class EdgeEngine:
         self.dev = plan.device_arrays()
 
     @classmethod
-    def build(cls, src, dst, n, colorer=None, interpret: bool = False):
+    def build(cls, src, dst, n, values=None, colorer=None,
+              interpret: bool = False):
         return cls(build_plan(np.asarray(src), np.asarray(dst), n,
-                              colorer=colorer), interpret=interpret)
+                              values=values, colorer=colorer),
+                   interpret=interpret)
 
     def spmv(self, x: jax.Array) -> jax.Array:
         """y[d] = sum_{(s,d) in E} x[s]; x: (n,) f32 -> y: (n,) f32.
@@ -51,6 +53,28 @@ class EdgeEngine:
         y_mids = k2_reduce(contrib, dev["wa"], dev["wb"], dev["cidx"],
                            dev["meta"], dev["sec_mid"], p.nmid,
                            interpret=self.interpret)
+        return y_mids.reshape(-1)[: p.n]
+
+    def relax(self, dist: jax.Array) -> jax.Array:
+        """y[d] = min over weighted edges (s -> d) of dist[s] + w.
+
+        The tropical-semiring SpMV: one Bellman-Ford relaxation round,
+        replacing the reference's CAS-min loop (sssp.rs:184-202).
+        Requires the plan to have been built with edge values.
+        """
+        return self.relax_dev(self.dev, dist)
+
+    def relax_dev(self, dev, dist: jax.Array) -> jax.Array:
+        from graph_tpu.engine.kernels import INF
+
+        p = self.plan
+        xp = jnp.full(p.nx, INF, jnp.float32).at[: p.n].set(dist)
+        contrib = k1_gather(xp, dev["widx"], dev["border"], dev["sb"],
+                            dev["ws"], weights=dev["weights"], combine="add",
+                            interpret=self.interpret)
+        y_mids = k2_reduce(contrib, dev["wa"], dev["wb"], dev["cidx"],
+                           dev["meta"], dev["sec_mid"], p.nmid, op="min",
+                           sstart=dev["sstart"], interpret=self.interpret)
         return y_mids.reshape(-1)[: p.n]
 
     def smin(self, x: jax.Array) -> jax.Array:

@@ -46,7 +46,10 @@ FIXED_BITS = 30        # fixed-point fraction bits
 
 
 def _k1_kernel(border_ref, sb_ref, ws_ref, x0_ref, x1_ref, x2_ref,
-               widx_ref, out_ref, xs_ref):
+               widx_ref, out_ref, xs_ref, *, ew_ref=None, combine="none"):
+    """Windowed gather; optionally combines a per-edge weight stream:
+    combine="add" -> x[src] + w (tropical, SSSP relaxation),
+    combine="mul" -> x[src] * w (weighted SpMV)."""
     xs_ref[0:SLICE] = x0_ref[:]
     xs_ref[SLICE:2 * SLICE] = x1_ref[:]
     xs_ref[2 * SLICE:] = x2_ref[:]
@@ -63,13 +66,18 @@ def _k1_kernel(border_ref, sb_ref, ws_ref, x0_ref, x1_ref, x2_ref,
             row = jax.lax.broadcast_in_dim(w[h], (8, 128), (1,))
             g = jnp.take_along_axis(row, lo, axis=1)
             acc = jnp.where(hi == h, g, acc)
+        if combine == "add":
+            acc = acc + ew_ref[pl.ds(t * 8, 8), :]
+        elif combine == "mul":
+            acc = acc * ew_ref[pl.ds(t * 8, 8), :]
         out_ref[pl.ds(t * 8, 8), :] = acc
         return 0
 
     jax.lax.fori_loop(0, TPB, tile_body, 0, unroll=True)
 
 
-def k1_gather(x_padded, widx, border, sb, ws, *, interpret=False):
+def k1_gather(x_padded, widx, border, sb, ws, *, weights=None,
+              combine="add", interpret=False):
     """Per-edge gather: out[i] = x_padded[plan position of slot i].
 
     x_padded: (nx,) f32, nx a multiple of SLICE (>= (max(sb)+NSLICES)*SLICE).
@@ -84,6 +92,7 @@ def k1_gather(x_padded, widx, border, sb, ws, *, interpret=False):
     """
     nrows = widx.shape[0]
     nblk = nrows * 128 // BLK
+    n_in = 4 if weights is None else 5
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nblk,),
@@ -91,17 +100,29 @@ def k1_gather(x_padded, widx, border, sb, ws, *, interpret=False):
             pl.BlockSpec((SLICE,), lambda k, bo, sb, ws: (sb[bo[k]],)),
             pl.BlockSpec((SLICE,), lambda k, bo, sb, ws: (sb[bo[k]] + 1,)),
             pl.BlockSpec((SLICE,), lambda k, bo, sb, ws: (sb[bo[k]] + 2,)),
-            pl.BlockSpec((BLK // 128, 128), lambda k, bo, sb, ws: (bo[k], 0)),
-        ],
+        ] + [pl.BlockSpec((BLK // 128, 128),
+                          lambda k, bo, sb, ws: (bo[k], 0))] * (n_in - 3),
         out_specs=pl.BlockSpec((BLK // 128, 128), lambda k, bo, sb, ws: (bo[k], 0)),
         scratch_shapes=[pltpu.VMEM((NSLICES * SLICE,), jnp.float32)],
     )
+    if weights is None:
+        def kernel(border_ref, sb_ref, ws_ref, x0, x1, x2, widx_ref,
+                   out_ref, xs_ref):
+            _k1_kernel(border_ref, sb_ref, ws_ref, x0, x1, x2, widx_ref,
+                       out_ref, xs_ref)
+        args = (border, sb, ws, x_padded, x_padded, x_padded, widx)
+    else:
+        def kernel(border_ref, sb_ref, ws_ref, x0, x1, x2, widx_ref,
+                   ew_ref, out_ref, xs_ref):
+            _k1_kernel(border_ref, sb_ref, ws_ref, x0, x1, x2, widx_ref,
+                       out_ref, xs_ref, ew_ref=ew_ref, combine=combine)
+        args = (border, sb, ws, x_padded, x_padded, x_padded, widx, weights)
     return pl.pallas_call(
-        _k1_kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nrows, 128), jnp.float32),
         interpret=interpret,
-    )(border, sb, ws, x_padded, x_padded, x_padded, widx)
+    )(*args)
 
 
 INF = 3.0e38  # +inf stand-in that is a python literal (kernels cannot capture traced constants)
@@ -209,7 +230,10 @@ def _k2_kernel(meta_ref, v_ref, wa_ref, wb_ref, cidx_ref, out_ref, c_ref,
         for gsh in (1, 2):
             gend = jax.lax.broadcast_in_dim(rscan[:, 127], (4, 128), (0,))
             cand = pltpu.roll(gend, gsh, 0)
-            ok = (row4 >= gsh) & (rs_row <= (row4 - gsh) * 128)
+            # combine with the previous group's end value when our
+            # segment covers that group's last row (then the candidate's
+            # coverage [max(rs, group start), group end] is pure)
+            ok = (row4 >= gsh) & (rs_row < (row4 - gsh + 1) * 128)
             rscan = jnp.minimum(rscan, jnp.where(ok, cand, INF))
         # rscan[r] = min over rows [row(rs), r] of row pieces
         # carry into each row = exclusive version (previous row's scan)

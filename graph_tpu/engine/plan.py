@@ -55,6 +55,7 @@ class EdgePlan:
     sb: np.ndarray       # (nblocks,) int32
     ws: np.ndarray       # (ntiles,) int32
     border: np.ndarray   # (nblocks,) int32 grid order
+    weights: "np.ndarray | None"  # (nslots//128, 128) f32 per-slot weights
     # K2
     wa: np.ndarray       # (nsec*512, 128) uint16
     wb: np.ndarray       # (nsec*512, 128) uint16
@@ -66,7 +67,9 @@ class EdgePlan:
     def device_arrays(self):
         import jax.numpy as jnp
 
-        return {
+        out = {} if self.weights is None else {
+            "weights": jnp.asarray(self.weights)}
+        out.update({
             "widx": jnp.asarray(self.widx),
             "sb": jnp.asarray(self.sb),
             "ws": jnp.asarray(self.ws),
@@ -77,7 +80,8 @@ class EdgePlan:
             "sstart": jnp.asarray(self.sstart),
             "meta": jnp.asarray(self.meta),
             "sec_mid": jnp.asarray(self.sec_mid),
-        }
+        })
+        return out
 
 
 def build_plan(
@@ -104,6 +108,7 @@ def build_plan(
     src_s = src[order]
     mid_s = (dst[order] // MID).astype(np.int64)
     dstl_s = (dst[order] - mid_s * MID).astype(np.int64)
+    val_s = None if values is None else np.asarray(values, np.float32)[order]
 
     mid_starts = np.searchsorted(mid_s, np.arange(nmid + 1))
 
@@ -111,6 +116,7 @@ def build_plan(
     tile_srcs: list = []       # per tile: array of real srcs or None
     tile_pads: list = []       # per tile: (ntail, lead, _)
     tile_dstl: list = []
+    tile_eidx: list = []       # per tile: slice (lo_edge, hi_edge) into order
     slot = 0
     sec_mid_list = []
     for mi in range(nmid):
@@ -118,7 +124,8 @@ def build_plan(
         t_start = len(tile_srcs)
         s0 = slot
         slot = _layout_mid_with_dst(
-            src_s[lo:hi], dstl_s[lo:hi], tile_srcs, tile_pads, tile_dstl, s0)
+            src_s[lo:hi], dstl_s[lo:hi], tile_srcs, tile_pads, tile_dstl, s0,
+            tile_eidx, lo)
         nsec_i = (slot - s0) // SEC
         sec_mid_list.extend([mi] * nsec_i)
     nslots = slot
@@ -129,6 +136,17 @@ def build_plan(
 
     # ---- K1 arrays
     widx_flat = np.zeros(nslots, np.uint16)
+    wvals = None
+    if val_s is not None:
+        wvals = np.zeros(nslots, np.float32)
+        pos_w = 0
+        for t in range(ntiles):
+            srcs = tile_srcs[t]
+            lead = tile_pads[t][1]
+            if srcs is not None and srcs.size:
+                elo, ehi = tile_eidx[t]
+                wvals[pos_w + lead: pos_w + lead + srcs.size] = val_s[elo:ehi]
+            pos_w += TILE
     slot_dstl = np.zeros(nslots, np.int32)  # -1 lead, MID tail/pads
     ws = np.zeros(ntiles, np.int32)
     sb = np.zeros(nblocks, np.int32)
@@ -227,6 +245,7 @@ def build_plan(
     plan = EdgePlan(
         n=n, m=m, nslots=nslots, nmid=nmid, nsec=nsec, nx=nx,
         widx=widx_flat.reshape(-1, 128), sb=sb, ws=ws, border=border,
+        weights=None if wvals is None else wvals.reshape(-1, 128),
         wa=wa, wb=wb, cidx=cidx, sstart=sstart, meta=meta,
         sec_mid=sec_mid_arr,
     )
@@ -238,8 +257,9 @@ def build_plan(
     return plan
 
 
-def _layout_mid_with_dst(src, dstl, out_src, out_pad, out_dstl, slot0):
-    """Like _layout_mid but also carries per-tile dst-local arrays."""
+def _layout_mid_with_dst(src, dstl, out_src, out_pad, out_dstl, slot0,
+                         out_eidx=None, edge_base=0):
+    """Greedy layout; also records per-tile (lo, hi) edge-index ranges."""
     m_i = src.size
     cur = 0
     slot = slot0
@@ -257,6 +277,8 @@ def _layout_mid_with_dst(src, dstl, out_src, out_pad, out_dstl, slot0):
             out_src.append(None)
             out_pad.append((TILE - lead, lead, None))
             out_dstl.append(None)
+            if out_eidx is not None:
+                out_eidx.append((0, 0))
             slot += TILE
             if slot % SEC == 0:
                 break
@@ -269,6 +291,8 @@ def _layout_mid_with_dst(src, dstl, out_src, out_pad, out_dstl, slot0):
             out_src.append(None)
             out_pad.append((TILE - lead, lead, None))
             out_dstl.append(None)
+            if out_eidx is not None:
+                out_eidx.append((0, 0))
             slot += TILE
             continue
         hi_span = min(first + SPAN_BUDGET, block_base + BLOCK_SPAN)
@@ -277,6 +301,8 @@ def _layout_mid_with_dst(src, dstl, out_src, out_pad, out_dstl, slot0):
         out_src.append(src[cur:cur + k])
         out_dstl.append(dstl[cur:cur + k])
         out_pad.append((TILE - lead - k, lead, None))
+        if out_eidx is not None:
+            out_eidx.append((edge_base + cur, edge_base + cur + k))
         cur += k
         slot += TILE
     return slot

@@ -144,3 +144,76 @@ def test_wcc_plan_matches_xla():
     r_p = wcc(graph, WccConfig(engine="plan"))
     assert np.array_equal(np.asarray(r_x.components),
                           np.asarray(r_p.components))
+
+
+def test_engine_relax_interpret():
+    n, m = 3000, 12000
+    src, dst = _random_graph(n, m, seed=31)
+    w = (rng.random(m) * 10).astype(np.float32)
+    from graph_tpu.engine.engine import EdgeEngine
+
+    eng = EdgeEngine.build(src, dst, n, values=w, interpret=True)
+    dist = (rng.random(n) * 100).astype(np.float32)
+    import jax.numpy as jnp
+
+    y = np.asarray(eng.relax(jnp.asarray(dist)))
+    y_exp = np.full(n, 3.0e38, np.float32)
+    np.minimum.at(y_exp, dst, dist[src] + w)
+    assert np.array_equal(y, y_exp)
+
+
+def test_segmented_min_scan_replica_fuzz():
+    """Numpy replica of the K2 min-scan vs ground truth (regression for
+    the cross-group combine condition)."""
+    R = 512
+    INF = 3.0e38
+
+    def scan(v, ss):
+        lane = np.arange(128)[None, :].repeat(R, 0)
+        rowstart = (np.arange(R) * 128)[:, None].repeat(128, 1)
+        q = v.copy()
+        for sh in (1, 2, 4, 8, 16, 32, 64):
+            cand = np.roll(q, sh, 1)
+            ok = (lane >= sh) & ((lane - sh) >= (ss - rowstart))
+            q = np.minimum(q, np.where(ok, cand, INF))
+        rs_row = (ss[:, 127] // 128).reshape(4, 128)
+        rowidx4 = (np.arange(4) * 128)[:, None] + np.arange(128)[None, :]
+        lane4 = np.arange(128)[None, :].repeat(4, 0)
+        rscan = q[:, 127].reshape(4, 128).copy()
+        for sh in (1, 2, 4, 8, 16, 32, 64):
+            cand = np.roll(rscan, sh, 1)
+            ok = (lane4 >= sh) & ((rowidx4 - sh) >= rs_row)
+            rscan = np.minimum(rscan, np.where(ok, cand, INF))
+        row4 = np.arange(4)[:, None].repeat(128, 1)
+        for gsh in (1, 2):
+            gend = rscan[:, 127:128].repeat(128, 1)
+            cand = np.roll(gend, gsh, 0)
+            ok = (row4 >= gsh) & (rs_row < (row4 - gsh + 1) * 128)
+            rscan = np.minimum(rscan, np.where(ok, cand, INF))
+        carry = np.roll(rscan.reshape(R, 1), 1, 0)
+        rowid = np.arange(R)[:, None].repeat(128, 1)
+        use_carry = (ss < rowstart) & (rowid > 0)
+        return np.minimum(q, np.where(use_carry, carry, INF))
+
+    g = np.random.default_rng(123)
+    for _ in range(8):
+        nseg = int(g.integers(1, 3000))
+        cuts = np.sort(g.choice(np.arange(1, R * 128),
+                                min(nseg, R * 128 - 1), replace=False))
+        bounds = np.r_[0, cuts, R * 128]
+        ss = np.empty(R * 128, np.int64)
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            ss[a:b] = a
+        v = (g.random(R * 128) * 100).astype(np.float32)
+        S = scan(v.reshape(R, 128), ss.reshape(R, 128)).ravel()
+        run = None
+        cur = -1
+        exp = np.empty(R * 128, np.float32)
+        for i in range(R * 128):
+            if ss[i] != cur:
+                cur = ss[i]
+                run = v[i]
+            else:
+                run = min(run, v[i])
+            exp[i] = run
+        assert np.array_equal(S, exp)

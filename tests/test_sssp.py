@@ -96,3 +96,27 @@ def test_sssp_random_vs_dijkstra():
     ours = res.distances_np().astype(np.float64)
     ours[ours == float(INF)] = np.inf
     np.testing.assert_allclose(ours, dist, rtol=1e-5)
+
+
+def test_sssp_plan_matches_xla_interpret():
+    """EdgeEngine Bellman-Ford == delta-stepping on a random graph."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from graph_tpu.graph.build import build_directed
+    from graph_tpu.algos.sssp import delta_stepping, DeltaSteppingConfig
+    from graph_tpu.engine import engine as eng_mod
+    from graph_tpu.engine.engine import EdgeEngine
+
+    g = np.random.default_rng(17)
+    n, m = 2000, 9000
+    src = g.integers(0, n, m)
+    dst = g.integers(0, n, m)
+    w = (g.random(m) * 5 + 0.01).astype(np.float32)
+    graph = build_directed(jnp.asarray(src), jnp.asarray(dst),
+                           values=jnp.asarray(w), node_count=n)
+    r_x = delta_stepping(graph, DeltaSteppingConfig(0, 3.0, engine="xla"))
+    eng = EdgeEngine.build(src, dst, n, values=w, interpret=True)
+    eng_mod._GRAPH_ENGINES[(id(graph), "fwd_weighted")] = eng
+    r_p = delta_stepping(graph, DeltaSteppingConfig(0, 3.0, engine="plan"))
+    assert np.array_equal(r_x.distances_np(), r_p.distances_np())
