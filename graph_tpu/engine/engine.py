@@ -53,7 +53,10 @@ class EdgeEngine:
         y_mids = k2_reduce(contrib, dev["wa"], dev["wb"], dev["cidx"],
                            dev["meta"], dev["sec_mid"], p.nmid,
                            interpret=self.interpret)
-        return y_mids.reshape(-1)[: p.n]
+        from graph_tpu.engine.kernels import FIXED_BITS
+
+        y = y_mids.reshape(-1)[: p.n]
+        return y.astype(jnp.float32) / jnp.float32(1 << FIXED_BITS)
 
     def relax(self, dist: jax.Array) -> jax.Array:
         """y[d] = min over weighted edges (s -> d) of dist[s] + w.
@@ -75,7 +78,8 @@ class EdgeEngine:
         y_mids = k2_reduce(contrib, dev["wa"], dev["wb"], dev["cidx"],
                            dev["meta"], dev["sec_mid"], p.nmid, op="min",
                            sstart=dev["sstart"], interpret=self.interpret)
-        return y_mids.reshape(-1)[: p.n]
+        y = y_mids.reshape(-1)[: p.n]
+        return jax.lax.bitcast_convert_type(y, jnp.float32)
 
     def smin(self, x: jax.Array) -> jax.Array:
         """y[d] = min over edges (s -> d) of x[s]; empty rows get +3e38.
@@ -94,7 +98,8 @@ class EdgeEngine:
         y_mids = k2_reduce(contrib, dev["wa"], dev["wb"], dev["cidx"],
                            dev["meta"], dev["sec_mid"], p.nmid, op="min",
                            sstart=dev["sstart"], interpret=self.interpret)
-        return y_mids.reshape(-1)[: p.n]
+        y = y_mids.reshape(-1)[: p.n]
+        return jax.lax.bitcast_convert_type(y, jnp.float32)
 
 
 

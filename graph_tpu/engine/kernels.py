@@ -125,7 +125,8 @@ def k1_gather(x_padded, widx, border, sb, ws, *, weights=None,
     )(*args)
 
 
-INF = 3.0e38  # +inf stand-in that is a python literal (kernels cannot capture traced constants)
+INF = 3.0e38  # +inf stand-in (python literal; kernels cannot capture traced consts)
+INF_BITS = 2137108966  # np.float32(INF).view(int32); IEEE order == int order for x >= 0
 
 
 def _k2_kernel(meta_ref, v_ref, wa_ref, wb_ref, cidx_ref, out_ref, c_ref,
@@ -175,9 +176,14 @@ def _k2_kernel(meta_ref, v_ref, wa_ref, wb_ref, cidx_ref, out_ref, c_ref,
         rr = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
         cc = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
         ut = (rr <= cc).astype(jnp.float32)
+        # HIGHEST precision (bf16x3+) makes the <=15-bit integer
+        # products and <2**24 f32 accumulations exact; the default
+        # single-pass bf16 mode silently rounds the 15-bit halves.
         cs_lo = jax.lax.dot_general(q_lo, ut, (((1,), (0,)), ((), ())),
+                                    precision=jax.lax.Precision.HIGHEST,
                                     preferred_element_type=jnp.float32)
         cs_hi = jax.lax.dot_general(q_hi, ut, (((1,), (0,)), ((), ())),
+                                    precision=jax.lax.Precision.HIGHEST,
                                     preferred_element_type=jnp.float32)
         q = cs_hi.astype(jnp.int32) * 32768 + cs_lo.astype(jnp.int32)
         rowsum = q[:, 127:128]
@@ -283,9 +289,12 @@ def _k2_kernel(meta_ref, v_ref, wa_ref, wb_ref, cidx_ref, out_ref, c_ref,
         sh = jnp.where(lane == 0, col0, lane_sh)
         return jnp.where((lane == 0) & (row_ids == 0), fill, sh)
 
+    # The mid accumulator is int32 so cross-section accumulation stays
+    # exact: sum accumulates fixed-point quanta (wraparound-exact); min
+    # compares f32 bit patterns (IEEE order == integer order for
+    # nonnegative values, which labels/distances/contributions are).
     if op == "sum":
-        y_add = ((cells - shift_flat(cells, 0)).astype(jnp.float32)
-                 / jnp.float32(1 << FIXED_BITS))
+        y_add = cells - shift_flat(cells, 0)
 
         @pl.when(meta_ref[mbase] == 1)
         def _():
@@ -294,11 +303,11 @@ def _k2_kernel(meta_ref, v_ref, wa_ref, wb_ref, cidx_ref, out_ref, c_ref,
     else:
         # destination present in this section iff its segment end moved
         present = ci > shift_flat(ci, -1)
-        y_min = jnp.where(present, pltpu.bitcast(cells, jnp.float32), INF)
+        y_min = jnp.where(present, cells, INF_BITS)
 
         @pl.when(meta_ref[mbase] == 1)
         def _():
-            out_ref[:] = jnp.full_like(out_ref, INF)
+            out_ref[:] = jnp.full_like(out_ref, INF_BITS)
         out_ref[:] = jnp.minimum(out_ref[:], y_min)
 
 
@@ -344,6 +353,6 @@ def k2_reduce(contrib, wa, wb, cidx, meta, sec_mid, nmid, *, op="sum",
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nmid * SEC_R, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nmid * SEC_R, 128), jnp.int32),
         interpret=interpret,
     )(*args)

@@ -75,3 +75,77 @@ def build_sections_native(keys: np.ndarray, nthreads: int = 0):
     if rc != 0:  # pragma: no cover
         return None
     return wa, wb, cidx, sstart, ws2, nsub
+
+
+class _GtLayout(ctypes.Structure):
+    _fields_ = [
+        ("nslots", ctypes.c_int64),
+        ("nmid", ctypes.c_int64),
+        ("widx", ctypes.POINTER(ctypes.c_uint16)),
+        ("keys", ctypes.POINTER(ctypes.c_int32)),
+        ("wvals", ctypes.POINTER(ctypes.c_float)),
+        ("ws", ctypes.POINTER(ctypes.c_int32)),
+        ("sb", ctypes.POINTER(ctypes.c_int32)),
+        ("sec_mid", ctypes.POINTER(ctypes.c_int32)),
+    ]
+
+
+_layout_lib = None
+_layout_failed = False
+
+
+def _load_layout():
+    global _layout_lib, _layout_failed
+    if _layout_lib is not None or _layout_failed:
+        return _layout_lib
+    try:
+        from graph_tpu.native.build import build_library
+
+        lib = ctypes.CDLL(build_library("edge_layout.cpp"))
+        lib.gt_build_layout.restype = ctypes.POINTER(_GtLayout)
+        lib.gt_build_layout.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int,
+        ]
+        lib.gt_layout_free.argtypes = [ctypes.POINTER(_GtLayout)]
+        _layout_lib = lib
+    except Exception as exc:  # pragma: no cover
+        log.warning("native edge_layout unavailable (%s); python layout", exc)
+        _layout_failed = True
+    return _layout_lib
+
+
+def build_layout_native(src, dst, values=None, n=0, nthreads: int = 0):
+    """Sort + slot-stream layout in C++. Returns dict of arrays or None."""
+    lib = _load_layout()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, np.int64)
+    dst = np.ascontiguousarray(dst, np.int64)
+    vptr = None
+    if values is not None:
+        values = np.ascontiguousarray(values, np.float32)
+        vptr = values.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    if nthreads <= 0:
+        nthreads = min(32, os.cpu_count() or 1)
+    Lp = lib.gt_build_layout(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        vptr, ctypes.c_int64(src.size), ctypes.c_int64(n),
+        ctypes.c_int(nthreads))
+    L = Lp.contents
+    ns = L.nslots
+    out = {
+        "nslots": int(ns),
+        "nmid": int(L.nmid),
+        "widx": np.ctypeslib.as_array(L.widx, (ns,)).copy(),
+        "keys": np.ctypeslib.as_array(L.keys, (ns,)).copy(),
+        "ws": np.ctypeslib.as_array(L.ws, (ns // 1024,)).copy(),
+        "sb": np.ctypeslib.as_array(L.sb, (ns // 16384,)).copy(),
+        "sec_mid": np.ctypeslib.as_array(L.sec_mid, (ns // 65536,)).copy(),
+        "wvals": (np.ctypeslib.as_array(L.wvals, (ns,)).copy()
+                  if values is not None else None),
+    }
+    lib.gt_layout_free(Lp)
+    return out

@@ -104,6 +104,11 @@ def build_plan(
     m = src.size
     nmid = max(1, -(-n // MID))
 
+    if colorer is None:
+        plan = _build_plan_native(src, dst, n, values, m, nmid, t0)
+        if plan is not None:
+            return plan
+
     order = np.lexsort((src, dst // MID))
     src_s = src[order]
     mid_s = (dst[order] // MID).astype(np.int64)
@@ -306,3 +311,48 @@ def _layout_mid_with_dst(src, dstl, out_src, out_pad, out_dstl, slot0,
         cur += k
         slot += TILE
     return slot
+
+
+def _build_plan_native(src, dst, n, values, m, nmid, t0):
+    """Full native-layout path: C++ sort+layout, C++ section routing."""
+    from graph_tpu.engine.native_route import (
+        build_layout_native, build_sections_native)
+
+    lay = build_layout_native(src, dst, values, n)
+    if lay is None:
+        return None
+    nslots = lay["nslots"]
+    nsec = nslots // SEC
+    native = build_sections_native(lay["keys"])
+    if native is None:
+        return None
+    wa_f, wb_f, cidx_f, sstart_f, ws2_f, nsub_f = native
+    sec_mid_arr = lay["sec_mid"]
+    first_flags = np.ones(nsec, np.int32)
+    if nsec > 1:
+        first_flags[1:] = (sec_mid_arr[1:] != sec_mid_arr[:-1]).astype(np.int32)
+    meta = np.zeros(nsec * 129, np.int32)
+    mv = meta.reshape(nsec, 129)
+    mv[:, 0] = first_flags
+    mv[:, 1:65] = ws2_f.reshape(nsec, 64)
+    mv[:, 65:129] = nsub_f.reshape(nsec, 64)
+    sb = lay["sb"]
+    border = np.argsort(sb, kind="stable").astype(np.int32)
+    nx = (max(int(sb.max()) + NSLICES if sb.size else NSLICES,
+              -(-n // SLICE) + 1)) * SLICE
+    wvals = lay["wvals"]
+    plan = EdgePlan(
+        n=n, m=m, nslots=nslots, nmid=lay["nmid"], nsec=nsec, nx=nx,
+        widx=lay["widx"].reshape(-1, 128), sb=sb, ws=lay["ws"], border=border,
+        weights=None if wvals is None else wvals.reshape(-1, 128),
+        wa=wa_f.reshape(nsec * SEC_R, 128),
+        wb=wb_f.reshape(nsec * SEC_R, 128),
+        cidx=cidx_f.reshape(nsec * SEC_R, 128),
+        sstart=sstart_f.reshape(nsec * SEC_R, 128),
+        meta=meta, sec_mid=sec_mid_arr,
+    )
+    logger.info(
+        "EdgePlan (native): m=%d slots=%d (%.1f%% pad) mids=%d sections=%d "
+        "in %.2fs", m, nslots, 100.0 * (nslots - m) / max(1, nslots),
+        lay["nmid"], nsec, time.perf_counter() - t0)
+    return plan

@@ -1,0 +1,257 @@
+// Native EdgePlan slot-stream layout for graph_tpu.
+//
+// Performs the build_plan stages that python does per tile
+// (graph_tpu/engine/plan.py): sort edges by (mid, src), then greedily
+// cut 1024-slot tiles / 16-tile blocks / 65536-slot sections per mid
+// under the K1 gather-window and slice-span budgets, emitting the K1
+// metadata (widx, ws, sb), the K2 sort keys (slot destination-locals)
+// and optionally slot-ordered edge values.
+//
+// Constants must match graph_tpu/engine/kernels.py.
+//
+// Build: g++ -O3 -shared -fPIC -std=c++17 -pthread edge_layout.cpp
+
+#include <atomic>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int64_t TILE = 1024;
+constexpr int64_t TPB = 16;
+constexpr int64_t BLK = TILE * TPB;
+constexpr int64_t WIN = 8192;
+constexpr int64_t SLICE = 32768;
+constexpr int64_t NSLICES = 3;
+constexpr int64_t SPAN_BUDGET = WIN - 1024;
+constexpr int64_t BLOCK_SPAN = NSLICES * SLICE - 1;
+constexpr int64_t SEC = 65536;
+constexpr int64_t MID = 65536;
+
+struct Layout {
+    int64_t nslots;
+    uint16_t* widx;     // nslots
+    int32_t* keys;      // nslots (dst-local; -1 lead pad, MID tail pad)
+    float* wvals;       // nslots or nullptr
+    int32_t* ws;        // nslots / TILE
+    int32_t* sb;        // nslots / BLK
+};
+
+// Greedy layout of one mid (edges sorted by src). Two modes: count-only
+// (out == nullptr) and fill.
+int64_t layout_mid(const int64_t* src, const int64_t* dstl, const float* val,
+                   int64_t m_i, int64_t slot0, Layout* out) {
+    int64_t cur = 0;
+    int64_t slot = slot0;
+    int64_t block_first = -1;
+    for (;;) {
+        if (cur >= m_i && slot % SEC == 0 && slot > slot0) break;
+        int lead = (slot % SEC == 0) ? 1 : 0;
+        if (slot % BLK == 0) block_first = -1;
+        int64_t t = slot / TILE;
+        int64_t b = slot / BLK;
+        if (cur >= m_i) {
+            if (out) {
+                if (slot % BLK == 0) out->sb[b] = 0;
+                out->ws[t] = 0;
+                for (int64_t i = 0; i < TILE; i++) {
+                    out->widx[slot + i] = 0;
+                    out->keys[slot + i] = (int32_t)MID;
+                    if (out->wvals) out->wvals[slot + i] = 0.0f;
+                }
+                if (lead) out->keys[slot] = -1;
+            }
+            slot += TILE;
+            if (slot % SEC == 0) break;
+            continue;
+        }
+        int64_t first = src[cur];
+        if (block_first < 0) block_first = first;
+        int64_t block_base = (block_first / SLICE) * SLICE;
+        if (out && slot % BLK == 0) out->sb[b] = (int32_t)(block_first / SLICE);
+        if (first - block_base > BLOCK_SPAN) {
+            if (out) {
+                out->ws[t] = 0;
+                for (int64_t i = 0; i < TILE; i++) {
+                    out->widx[slot + i] = 0;
+                    out->keys[slot + i] = (int32_t)MID;
+                    if (out->wvals) out->wvals[slot + i] = 0.0f;
+                }
+                if (lead) out->keys[slot] = -1;
+            }
+            slot += TILE;
+            continue;
+        }
+        int64_t hi_span = first + SPAN_BUDGET;
+        int64_t hs2 = block_base + BLOCK_SPAN;
+        if (hs2 < hi_span) hi_span = hs2;
+        // hi = upper_bound(src, hi_span)
+        int64_t lo = cur, hi = m_i;
+        while (lo < hi) {
+            int64_t mid = (lo + hi) >> 1;
+            if (src[mid] <= hi_span) lo = mid + 1; else hi = mid;
+        }
+        int64_t k = lo - cur;
+        int64_t cap = TILE - lead;
+        if (k > cap) k = cap;
+        if (out) {
+            int64_t base = block_base;
+            int64_t first_local = first - base;
+            int64_t ws_t = (first_local / 1024) * 1024;
+            int64_t wmax = NSLICES * SLICE - WIN;
+            if (ws_t > wmax) ws_t = wmax;
+            out->ws[t] = (int32_t)ws_t;
+            for (int64_t i = 0; i < TILE; i++) {
+                out->widx[slot + i] = 0;
+                out->keys[slot + i] = (int32_t)MID;
+                if (out->wvals) out->wvals[slot + i] = 0.0f;
+            }
+            if (lead) out->keys[slot] = -1;
+            for (int64_t i = 0; i < k; i++) {
+                out->widx[slot + lead + i] =
+                    (uint16_t)(src[cur + i] - base - ws_t);
+                out->keys[slot + lead + i] = (int32_t)dstl[cur + i];
+                if (out->wvals) out->wvals[slot + lead + i] = val[cur + i];
+            }
+        }
+        cur += k;
+        slot += TILE;
+    }
+    return slot;
+}
+
+}  // namespace
+
+extern "C" {
+
+struct GtLayout {
+    int64_t nslots;
+    int64_t nmid;
+    uint16_t* widx;
+    int32_t* keys;
+    float* wvals;
+    int32_t* ws;
+    int32_t* sb;
+    int32_t* sec_mid;
+};
+
+// src/dst: (m,) int64; values: (m,) float or nullptr; n: node count.
+// Sorts by (mid, src) internally (radix), lays out slots, returns a
+// malloc'd GtLayout (free with gt_layout_free).
+GtLayout* gt_build_layout(const int64_t* src, const int64_t* dst,
+                          const float* values, int64_t m, int64_t n,
+                          int nthreads) {
+    int64_t nmid = (n + MID - 1) / MID;
+    if (nmid < 1) nmid = 1;
+
+    // ---- stable sort edge ids by (mid, src): LSD radix over src
+    // (3 x 11-bit passes cover src < 2^33) then counting by mid.
+    std::vector<int64_t> ids(m), tmp(m);
+    for (int64_t i = 0; i < m; i++) ids[i] = i;
+    {
+        int src_bits = 1;
+        while ((n - 1) >> src_bits) src_bits++;
+        for (int shift = 0; shift < src_bits; shift += 11) {
+            std::vector<int64_t> cnt(2049, 0);
+            for (int64_t i = 0; i < m; i++)
+                cnt[((src[ids[i]] >> shift) & 2047) + 1]++;
+            for (int k = 1; k <= 2048; k++) cnt[k] += cnt[k - 1];
+            for (int64_t i = 0; i < m; i++)
+                tmp[cnt[(src[ids[i]] >> shift) & 2047]++] = ids[i];
+            ids.swap(tmp);
+        }
+        std::vector<int64_t> cnt(nmid + 1, 0);
+        for (int64_t i = 0; i < m; i++) cnt[dst[ids[i]] / MID + 1]++;
+        for (int64_t k = 1; k <= nmid; k++) cnt[k] += cnt[k - 1];
+        for (int64_t i = 0; i < m; i++) tmp[cnt[dst[ids[i]] / MID]++] = ids[i];
+        ids.swap(tmp);
+    }
+    std::vector<int64_t> src_s(m), dstl_s(m);
+    std::vector<float> val_s(values ? m : 0);
+    std::vector<int64_t> mid_start(nmid + 1, 0);
+    for (int64_t i = 0; i < m; i++) {
+        int64_t e = ids[i];
+        src_s[i] = src[e];
+        int64_t mid = dst[e] / MID;
+        dstl_s[i] = dst[e] - mid * MID;
+        if (values) val_s[i] = values[e];
+        mid_start[mid + 1]++;
+    }
+    for (int64_t k = 1; k <= nmid; k++) mid_start[k] += mid_start[k - 1];
+
+    // ---- pass 1: count slots per mid (parallel over mids)
+    std::vector<int64_t> mid_slots(nmid);
+    {
+        std::atomic<int64_t> next{0};
+        auto worker = [&]() {
+            for (;;) {
+                int64_t mi = next.fetch_add(1);
+                if (mi >= nmid) return;
+                int64_t lo = mid_start[mi];
+                mid_slots[mi] = layout_mid(src_s.data() + lo,
+                                           dstl_s.data() + lo, nullptr,
+                                           mid_start[mi + 1] - lo, 0, nullptr);
+            }
+        };
+        std::vector<std::thread> pool;
+        for (int t = 0; t < nthreads; t++) pool.emplace_back(worker);
+        for (auto& th : pool) th.join();
+    }
+    std::vector<int64_t> slot_off(nmid + 1, 0);
+    for (int64_t k = 0; k < nmid; k++) slot_off[k + 1] = slot_off[k] + mid_slots[k];
+    int64_t nslots = slot_off[nmid];
+
+    auto* L = (GtLayout*)std::calloc(1, sizeof(GtLayout));
+    L->nslots = nslots;
+    L->nmid = nmid;
+    L->widx = (uint16_t*)std::malloc(nslots * sizeof(uint16_t));
+    L->keys = (int32_t*)std::malloc(nslots * sizeof(int32_t));
+    L->wvals = values ? (float*)std::malloc(nslots * sizeof(float)) : nullptr;
+    L->ws = (int32_t*)std::malloc(nslots / TILE * sizeof(int32_t));
+    L->sb = (int32_t*)std::malloc(nslots / BLK * sizeof(int32_t));
+    L->sec_mid = (int32_t*)std::malloc(nslots / SEC * sizeof(int32_t));
+
+    // ---- pass 2: fill (parallel over mids; disjoint output ranges)
+    {
+        std::atomic<int64_t> next{0};
+        auto worker = [&]() {
+            for (;;) {
+                int64_t mi = next.fetch_add(1);
+                if (mi >= nmid) return;
+                int64_t lo = mid_start[mi];
+                int64_t s0 = slot_off[mi];
+                Layout view;
+                view.nslots = nslots;
+                view.widx = L->widx;
+                view.keys = L->keys;
+                view.wvals = L->wvals;
+                view.ws = L->ws;
+                view.sb = L->sb;
+                layout_mid(src_s.data() + lo, dstl_s.data() + lo,
+                           values ? val_s.data() + lo : nullptr,
+                           mid_start[mi + 1] - lo, s0, &view);
+                for (int64_t s = s0 / SEC; s < slot_off[mi + 1] / SEC; s++)
+                    L->sec_mid[s] = (int32_t)mi;
+            }
+        };
+        std::vector<std::thread> pool;
+        for (int t = 0; t < nthreads; t++) pool.emplace_back(worker);
+        for (auto& th : pool) th.join();
+    }
+    return L;
+}
+
+void gt_layout_free(GtLayout* L) {
+    if (!L) return;
+    std::free(L->widx);
+    std::free(L->keys);
+    std::free(L->wvals);
+    std::free(L->ws);
+    std::free(L->sb);
+    std::free(L->sec_mid);
+    std::free(L);
+}
+}
