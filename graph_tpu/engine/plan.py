@@ -218,31 +218,16 @@ def build_plan(
         meta = np.zeros(nsec * 129, np.int32)
         for s in range(nsec):
             keys = slot_dstl[s * SEC:(s + 1) * SEC]
-            sort_order = np.argsort(keys, kind="stable")
-            target = np.empty(SEC, np.int64)
-            target[sort_order] = np.arange(SEC)
-            idx = (_route.clos_route(target, SEC_R) if colorer is None
-                   else colorer(target, SEC_R))
-            pad = ((keys == -1) | (keys == MID)).reshape(SEC_R, 128)
-            wa_s, wb_s = _route.pack_routing(idx, pad)
-            s_key = keys[sort_order]
-            ss_s = np.searchsorted(s_key, s_key, side="left")
-            sstart[s * SEC_R:(s + 1) * SEC_R] = (
-                ss_s.astype(np.uint16).reshape(SEC_R, 128))
-            e_d = (np.searchsorted(s_key, np.arange(MID), side="right") - 1)
-            assert e_d.min() >= 0
+            wa_s, wb_s, ci_s, ss_s, ws2_s, nsub_s = _section_python(
+                keys, colorer)
             meta_s = np.zeros(129, np.int32)
-            ci = np.zeros(MID, np.uint16)
-            for t in range(64):
-                seg = e_d[t * 1024:(t + 1) * 1024]
-                base = (int(seg.min()) // 1024) * 1024
-                meta_s[1 + t] = base
-                meta_s[65 + t] = (int(seg.max()) - base) // 1024 + 1
-                ci[t * 1024:(t + 1) * 1024] = seg.astype(np.uint16)
             meta_s[0] = first_flags[s]
+            meta_s[1:65] = ws2_s
+            meta_s[65:129] = nsub_s
             wa[s * SEC_R:(s + 1) * SEC_R] = wa_s
-            wb[s * SEC_R:(s + 1) * SEC_R] = wb_s.reshape(SEC_R, 128)
-            cidx[s * SEC_R:(s + 1) * SEC_R] = ci.reshape(SEC_R, 128)
+            wb[s * SEC_R:(s + 1) * SEC_R] = wb_s
+            cidx[s * SEC_R:(s + 1) * SEC_R] = ci_s
+            sstart[s * SEC_R:(s + 1) * SEC_R] = ss_s
             meta[s * 129:(s + 1) * 129] = meta_s
 
     nx = (max(int(sb.max()) + NSLICES if nblocks else NSLICES,
@@ -356,3 +341,32 @@ def _build_plan_native(src, dst, n, values, m, nmid, t0):
         "in %.2fs", m, nslots, 100.0 * (nslots - m) / max(1, nslots),
         lay["nmid"], nsec, time.perf_counter() - t0)
     return plan
+
+
+def _section_python(keys, colorer=None):
+    """Pure-python routing of one section (fallback / pad sections).
+
+    Returns (wa, wb, cidx, sstart, ws2, nsub), shaped for the kernel.
+    """
+    sort_order = np.argsort(keys, kind="stable")
+    target = np.empty(SEC, np.int64)
+    target[sort_order] = np.arange(SEC)
+    idx = (_route.clos_route(target, SEC_R) if colorer is None
+           else colorer(target, SEC_R))
+    pad = ((keys == -1) | (keys == MID)).reshape(SEC_R, 128)
+    wa_s, wb_s = _route.pack_routing(idx, pad)
+    s_key = keys[sort_order]
+    ss_s = np.searchsorted(s_key, s_key, side="left")
+    e_d = (np.searchsorted(s_key, np.arange(MID), side="right") - 1)
+    assert e_d.min() >= 0
+    ws2 = np.zeros(64, np.int32)
+    nsub = np.zeros(64, np.int32)
+    ci = np.zeros(MID, np.uint16)
+    for t in range(64):
+        seg = e_d[t * 1024:(t + 1) * 1024]
+        base = (int(seg.min()) // 1024) * 1024
+        ws2[t] = base
+        nsub[t] = (int(seg.max()) - base) // 1024 + 1
+        ci[t * 1024:(t + 1) * 1024] = seg.astype(np.uint16)
+    return (wa_s, wb_s.reshape(SEC_R, 128), ci.reshape(SEC_R, 128),
+            ss_s.astype(np.uint16).reshape(SEC_R, 128), ws2, nsub)

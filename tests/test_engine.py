@@ -217,3 +217,29 @@ def test_segmented_min_scan_replica_fuzz():
                 run = min(run, v[i])
             exp[i] = run
         assert np.array_equal(S, exp)
+
+
+def test_sharded_engine_cpu_mesh():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from graph_tpu.engine.shard import ShardedEdgeEngine
+
+    devs = np.array(jax.devices()[:4])
+    mesh = Mesh(devs, ("edges",))
+    n, m = 2000, 9000
+    g = np.random.default_rng(2)
+    src = g.integers(0, n, m)
+    dst = g.integers(0, n, m)
+    se = ShardedEdgeEngine.build(src, dst, n, mesh, interpret=True)
+    x = g.random(n).astype(np.float32) * 1e-4
+    y = np.asarray(jax.jit(se.spmv)(jnp.asarray(x)))
+    y_exp = np.zeros(n)
+    np.add.at(y_exp, dst, x[src].astype(np.float64))
+    assert np.abs(y - y_exp).max() < 1e-6
+    labels = g.integers(0, n, n).astype(np.float32)
+    ym = np.asarray(jax.jit(se.smin)(jnp.asarray(labels)))
+    ym_exp = np.full(n, 3.0e38, np.float32)
+    np.minimum.at(ym_exp, dst, labels[src])
+    assert np.array_equal(ym, ym_exp)
