@@ -138,7 +138,8 @@ def page_rank(
     config = config or PageRankConfig()
     engine = config.engine
     if engine == "auto":
-        engine = "plan" if graph.edge_count >= (1 << 21) else "cumsum"
+        engine = ("plan" if graph.edge_count >= (1 << 21)
+                  and jax.default_backend() == "tpu" else "cumsum")
     if engine == "plan":
         return _page_rank_plan(graph, config)
     start = time.perf_counter()

@@ -132,7 +132,8 @@ def delta_stepping(
         raise ValueError("delta_stepping requires edge weights (values)")
     engine = getattr(config, "engine", "auto")
     if engine == "auto":
-        engine = ("plan" if graph.edge_count >= (1 << 21) else "xla")
+        engine = ("plan" if graph.edge_count >= (1 << 21)
+                  and jax.default_backend() == "tpu" else "xla")
     if engine == "plan":
         return _sssp_plan(graph, config)
     start = time.perf_counter()

@@ -123,7 +123,8 @@ def wcc(
     engine = getattr(config, "engine", "auto")
     if engine == "auto":
         engine = ("plan" if graph.edge_count >= (1 << 21)
-                  and graph.node_count <= (1 << 24) else "xla")
+                  and graph.node_count <= (1 << 24)
+                  and jax.default_backend() == "tpu" else "xla")
     if engine == "plan":
         return _wcc_plan(graph)
     start = time.perf_counter()

@@ -64,6 +64,35 @@ class EdgePlan:
     meta: np.ndarray     # (nsec*129,) int32
     sec_mid: np.ndarray  # (nsec,) int32
 
+    def save(self, path: str) -> None:
+        """Snapshot the plan (same discipline as the reference's binary
+        graph serialization, csr.rs:252-314: dtype-checked arrays +
+        scalar header)."""
+        np.savez(
+            path,
+            __header__=np.array([self.n, self.m, self.nslots, self.nmid,
+                                 self.nsec, self.nx], np.int64),
+            widx=self.widx, sb=self.sb, ws=self.ws, border=self.border,
+            weights=(np.zeros(0, np.float32) if self.weights is None
+                     else self.weights),
+            wa=self.wa, wb=self.wb, cidx=self.cidx, sstart=self.sstart,
+            meta=self.meta, sec_mid=self.sec_mid,
+        )
+
+    @staticmethod
+    def load(path: str) -> "EdgePlan":
+        z = np.load(path)
+        h = z["__header__"]
+        w = z["weights"]
+        return EdgePlan(
+            n=int(h[0]), m=int(h[1]), nslots=int(h[2]), nmid=int(h[3]),
+            nsec=int(h[4]), nx=int(h[5]),
+            widx=z["widx"], sb=z["sb"], ws=z["ws"], border=z["border"],
+            weights=None if w.size == 0 else w,
+            wa=z["wa"], wb=z["wb"], cidx=z["cidx"], sstart=z["sstart"],
+            meta=z["meta"], sec_mid=z["sec_mid"],
+        )
+
     def device_arrays(self):
         import jax.numpy as jnp
 

@@ -243,3 +243,20 @@ def test_sharded_engine_cpu_mesh():
     ym_exp = np.full(n, 3.0e38, np.float32)
     np.minimum.at(ym_exp, dst, labels[src])
     assert np.array_equal(ym, ym_exp)
+
+
+def test_plan_save_load_roundtrip(tmp_path):
+    from graph_tpu.engine.plan import EdgePlan
+
+    n, m = 4000, 16000
+    src, dst = _random_graph(n, m, seed=41)
+    w = (rng.random(m) * 3).astype(np.float32)
+    plan = build_plan(src, dst, n, values=w)
+    path = str(tmp_path / "plan.npz")
+    plan.save(path)
+    p2 = EdgePlan.load(path)
+    for f in ("n", "m", "nslots", "nmid", "nsec", "nx"):
+        assert getattr(plan, f) == getattr(p2, f)
+    for f in ("widx", "sb", "ws", "border", "weights", "wa", "wb",
+              "cidx", "sstart", "meta", "sec_mid"):
+        assert np.array_equal(getattr(plan, f), getattr(p2, f)), f
