@@ -186,17 +186,15 @@ def _k2_kernel(meta_ref, v_ref, wa_ref, wb_ref, cidx_ref, out_ref, c_ref,
                                     precision=jax.lax.Precision.HIGHEST,
                                     preferred_element_type=jnp.float32)
         q = cs_hi.astype(jnp.int32) * 32768 + cs_lo.astype(jnp.int32)
-        rowsum = q[:, 127:128]
-        c4 = rowsum.reshape(4, 128)
-        lane4 = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 1)
-        for sh in (1, 2, 4, 8, 16, 32, 64):
-            c4 = c4 + jnp.where(lane4 >= sh, pltpu.roll(c4, sh, 1), 0)
-        gt = jax.lax.broadcast_in_dim(c4[:, 127], (4, 128), (0,))
-        row4 = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 0)
-        for k in (1, 2, 3):
-            c4 = c4 + jnp.where(row4 >= k, pltpu.roll(gt, k, 0), 0)
-        offs = c4.reshape(SEC_R, 1) - rowsum
-        c_ref[:] = q + offs
+        # Row-offset scan on full (512,128) shapes: Mosaic executes
+        # sub-sublane shapes like (4,128)/(512,1) via relayout storms
+        # (~250ns/op); full-size rolls are ~free.
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (SEC_R, 128), 0)
+        rt = jax.lax.broadcast_in_dim(q[:, 127], (SEC_R, 128), (0,))
+        run = rt
+        for sh in (1, 2, 4, 8, 16, 32, 64, 128, 256):
+            run = run + jnp.where(rowid >= sh, pltpu.roll(run, sh, 0), 0)
+        c_ref[:] = q + (run - rt)
     else:
         # ---- f32 segmented min-scan: S[i] = min v over [sstart[i], i].
         # Level 1: within rows of 128 (masked log shifts; combining at
@@ -212,39 +210,23 @@ def _k2_kernel(meta_ref, v_ref, wa_ref, wb_ref, cidx_ref, out_ref, c_ref,
             ok = (lane >= sh) & ((lane - sh) >= local_start)
             q = jnp.minimum(q, jnp.where(ok, cand, INF))
         # q[r, l] = min over [max(sstart, r*128), r*128+l]
-        # Level 2: row carries.  Row-end values R[r] = q[r,127]; row-
-        # level starts rs[r] = row(sstart[r,0]).  Inclusive row-level
-        # scan over (4,128) with the same masked-shift rule, combining
-        # whole previous rows only when the segment covers them.
-        rvals = q[:, 127].reshape(4, 128)
-        # row-level segment key: the row where the segment covering THIS
-        # row's END starts (rows of one segment share it; using the
-        # start-covering segment instead would leak foreign segments
-        # into the carry)
-        rs_row = (ss[:, 127] // 128).reshape(4, 128)
-        rowidx4 = (jax.lax.broadcasted_iota(jnp.int32, (4, 128), 0) * 128
-                   + jax.lax.broadcasted_iota(jnp.int32, (4, 128), 1))
-        lane4 = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 1)
-        rscan = rvals
-        for sh in (1, 2, 4, 8, 16, 32, 64):
-            cand = pltpu.roll(rscan, sh, 1)
-            ok = (lane4 >= sh) & ((rowidx4 - sh) >= rs_row)
-            rscan = jnp.minimum(rscan, jnp.where(ok, cand, INF))
-        # cross-group combines (shift 128, 256 rows): use previous
-        # group's full scan-at-end value.
-        row4 = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 0)
-        for gsh in (1, 2):
-            gend = jax.lax.broadcast_in_dim(rscan[:, 127], (4, 128), (0,))
-            cand = pltpu.roll(gend, gsh, 0)
-            # combine with the previous group's end value when our
-            # segment covers that group's last row (then the candidate's
-            # coverage [max(rs, group start), group end] is pure)
-            ok = (row4 >= gsh) & (rs_row < (row4 - gsh + 1) * 128)
-            rscan = jnp.minimum(rscan, jnp.where(ok, cand, INF))
-        # rscan[r] = min over rows [row(rs), r] of row pieces
-        # carry into each row = exclusive version (previous row's scan)
-        carry = pltpu.roll(rscan.reshape(SEC_R, 1), 1, 0)
+        # Level 2: row carries, as a single masked log-shift scan over
+        # all 512 row-end values on full (512,128) shapes.  Row-level
+        # segment key: the row where the segment covering THIS row's
+        # END starts (rows of one segment share it; combining at
+        # distance sh is valid iff row-sh >= that key — same purity
+        # argument as the lane scan).
         rowid = jax.lax.broadcasted_iota(jnp.int32, (SEC_R, 128), 0)
+        rv = jax.lax.broadcast_in_dim(q[:, 127], (SEC_R, 128), (0,))
+        rs_row = jax.lax.broadcast_in_dim(ss[:, 127] // 128,
+                                          (SEC_R, 128), (0,))
+        run = rv
+        for sh in (1, 2, 4, 8, 16, 32, 64, 128, 256):
+            cand = pltpu.roll(run, sh, 0)
+            ok = (rowid >= sh) & ((rowid - sh) >= rs_row)
+            run = jnp.minimum(run, jnp.where(ok, cand, INF))
+        # carry into each row = previous row's inclusive scan value
+        carry = pltpu.roll(run, 1, 0)
         use_carry = (ss < rowstart) & (rowid > 0)
         S = jnp.minimum(q, jnp.where(use_carry, carry, INF))
         c_ref[:] = pltpu.bitcast(S, jnp.int32)
@@ -264,7 +246,11 @@ def _k2_kernel(meta_ref, v_ref, wa_ref, wb_ref, cidx_ref, out_ref, c_ref,
                 row0 = pl.multiple_of(base // 128 + jj * 8, 8)
                 win = c_ref[pl.ds(row0, 8), :]
                 for h in range(8):
-                    rowv = jax.lax.broadcast_in_dim(win[h], (8, 128), (1,))
+                    # broadcast row h via a constant sublane gather:
+                    # full-(8,128) ops avoid Mosaic's slow sub-shape
+                    # slice+broadcast path
+                    hsel = jnp.full((8, 128), h, jnp.int32)
+                    rowv = jnp.take_along_axis(win, hsel, axis=0)
                     g = jnp.take_along_axis(rowv, lo, axis=1)
                     acc = jnp.where(hi == jj * 8 + h, g, acc)
                 return acc

@@ -176,22 +176,16 @@ def test_segmented_min_scan_replica_fuzz():
             cand = np.roll(q, sh, 1)
             ok = (lane >= sh) & ((lane - sh) >= (ss - rowstart))
             q = np.minimum(q, np.where(ok, cand, INF))
-        rs_row = (ss[:, 127] // 128).reshape(4, 128)
-        rowidx4 = (np.arange(4) * 128)[:, None] + np.arange(128)[None, :]
-        lane4 = np.arange(128)[None, :].repeat(4, 0)
-        rscan = q[:, 127].reshape(4, 128).copy()
-        for sh in (1, 2, 4, 8, 16, 32, 64):
-            cand = np.roll(rscan, sh, 1)
-            ok = (lane4 >= sh) & ((rowidx4 - sh) >= rs_row)
-            rscan = np.minimum(rscan, np.where(ok, cand, INF))
-        row4 = np.arange(4)[:, None].repeat(128, 1)
-        for gsh in (1, 2):
-            gend = rscan[:, 127:128].repeat(128, 1)
-            cand = np.roll(gend, gsh, 0)
-            ok = (row4 >= gsh) & (rs_row < (row4 - gsh + 1) * 128)
-            rscan = np.minimum(rscan, np.where(ok, cand, INF))
-        carry = np.roll(rscan.reshape(R, 1), 1, 0)
+        # single-level row scan on full shapes (mirrors the kernel)
         rowid = np.arange(R)[:, None].repeat(128, 1)
+        rv = q[:, 127:128].repeat(128, 1)
+        rs_row = (ss[:, 127] // 128)[:, None].repeat(128, 1)
+        run = rv.copy()
+        for sh in (1, 2, 4, 8, 16, 32, 64, 128, 256):
+            cand = np.roll(run, sh, 0)
+            ok = (rowid >= sh) & ((rowid - sh) >= rs_row)
+            run = np.minimum(run, np.where(ok, cand, INF))
+        carry = np.roll(run, 1, 0)
         use_carry = (ss < rowstart) & (rowid > 0)
         return np.minimum(q, np.where(use_carry, carry, INF))
 
