@@ -67,3 +67,7 @@ __all__ = [
     "delta_stepping",
     "global_triangle_count",
 ]
+
+# EdgeEngine: plan-compiled vectorized edge traversal (see PERF_NOTES.md)
+from graph_tpu.engine.engine import EdgeEngine
+from graph_tpu.engine.plan import EdgePlan, build_plan

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from graph_tpu.engine.kernels import MID, SEC_R, SLICE, k1_gather, k2_reduce
+from graph_tpu.engine.kernels import k1_gather, k2_reduce
 from graph_tpu.engine.plan import EdgePlan, build_plan
 
 

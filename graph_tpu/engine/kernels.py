@@ -21,8 +21,6 @@ Layout constants here must match graph_tpu.engine.plan.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

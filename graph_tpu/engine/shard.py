@@ -97,7 +97,7 @@ def _pad_plan(plan, nsec):
     """Pad a plan with empty (all-pad) sections up to ``nsec``."""
     import dataclasses
 
-    from graph_tpu.engine.kernels import MID, SEC_R
+    from graph_tpu.engine.kernels import MID
 
     extra = nsec - plan.nsec
     if extra == 0:
