@@ -43,6 +43,9 @@ from graph_tpu.algos import (
     global_triangle_count,
     page_rank,
     wcc,
+    wcc_afforest,
+    wcc_afforest_dss,
+    wcc_baseline,
 )
 
 __version__ = "0.1.0"
@@ -64,8 +67,14 @@ __all__ = [
     "DeltaSteppingConfig",
     "page_rank",
     "wcc",
+    "wcc_baseline",
+    "wcc_afforest",
+    "wcc_afforest_dss",
     "delta_stepping",
     "global_triangle_count",
+    "EdgeEngine",
+    "EdgePlan",
+    "build_plan",
 ]
 
 # EdgeEngine: plan-compiled vectorized edge traversal (see PERF_NOTES.md)

@@ -1,5 +1,13 @@
 from graph_tpu.algos.pagerank import PageRankConfig, PageRankResult, page_rank
-from graph_tpu.algos.wcc import WccConfig, WccResult, wcc, wcc_components
+from graph_tpu.algos.wcc import (
+    WccConfig,
+    WccResult,
+    wcc,
+    wcc_afforest,
+    wcc_afforest_dss,
+    wcc_baseline,
+    wcc_components,
+)
 from graph_tpu.algos.sssp import DeltaSteppingConfig, SsspResult, delta_stepping
 from graph_tpu.algos.triangle_count import (
     TriangleCountResult,
@@ -13,6 +21,9 @@ __all__ = [
     "WccConfig",
     "WccResult",
     "wcc",
+    "wcc_baseline",
+    "wcc_afforest",
+    "wcc_afforest_dss",
     "wcc_components",
     "DeltaSteppingConfig",
     "SsspResult",

@@ -241,17 +241,19 @@ def _page_rank_plan(graph: DirectedCsrGraph, config: PageRankConfig) -> PageRank
     tolerance = jnp.float32(config.tolerance)
     damping = jnp.float32(config.damping_factor)
 
+    # tolerance/damping are traced jit arguments (not closure constants),
+    # so one compiled run per max_iterations serves every config.
     run = getattr(eng, "_pr_runs", {}).get(max_iterations)
     if run is not None:
         start = time.perf_counter()
-        scores, _, iters, err = run(outdeg, eng.dev)
+        scores, _, iters, err = run(outdeg, eng.dev, tolerance, damping)
         scores.block_until_ready()
         micros = int((time.perf_counter() - start) * 1e6)
         return PageRankResult(scores=scores, ran_iterations=int(iters),
                               error=float(err), micros=micros)
 
     @jax.jit
-    def run(outdeg, dev):
+    def run(outdeg, dev, tolerance, damping):
         nf = jnp.float32(n)
         init = 1.0 / nf
         base = (1.0 - damping) / nf
@@ -279,7 +281,7 @@ def _page_rank_plan(graph: DirectedCsrGraph, config: PageRankConfig) -> PageRank
     eng._pr_runs[max_iterations] = run
 
     start = time.perf_counter()
-    scores, _, iters, err = run(outdeg, eng.dev)
+    scores, _, iters, err = run(outdeg, eng.dev, tolerance, damping)
     scores.block_until_ready()
     micros = int((time.perf_counter() - start) * 1e6)
     return PageRankResult(

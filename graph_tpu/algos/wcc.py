@@ -148,6 +148,29 @@ def wcc_components(graph, config: Optional[WccConfig] = None) -> jax.Array:
     return wcc(graph, config).components
 
 
+def wcc_baseline(graph, config: Optional[WccConfig] = None) -> WccResult:
+    """Reference analog: ``wcc_baseline`` (wcc.rs:103) — link every edge.
+
+    All three reference variants compute the same fully-specified
+    partition; they differ only in CPU work-skipping heuristics
+    (Afforest sampling) that have no payoff for dense segment ops, so
+    each maps to the same min-label fixed point here (see module doc).
+    """
+    return wcc(graph, config)
+
+
+def wcc_afforest(graph, config: Optional[WccConfig] = None) -> WccResult:
+    """Reference analog: ``wcc_afforest`` (wcc.rs:127). See
+    :func:`wcc_baseline` for why the variants share one TPU kernel."""
+    return wcc(graph, config)
+
+
+def wcc_afforest_dss(graph, config: Optional[WccConfig] = None) -> WccResult:
+    """Reference analog: ``wcc_afforest_dss`` (wcc.rs:144). See
+    :func:`wcc_baseline` for why the variants share one TPU kernel."""
+    return wcc(graph, config)
+
+
 # ---------------------------------------------------------------------------
 # EdgeEngine-based WCC (engine="plan"): vectorized min-label hooks
 
@@ -176,8 +199,14 @@ def _wcc_plan(graph) -> WccResult:
     one engine pass over the symmetrized edges; pointer jumps use an
     n-sized XLA gather (cheap relative to the m-sized hook).
     """
-    eng = _sym_engine(graph)
     n = graph.node_count
+    if n > (1 << 24):
+        # f32 labels are exact only up to 2**24; silently wrong above.
+        raise ValueError(
+            f"engine='plan' WCC carries labels in f32, exact only for "
+            f"node_count <= 2**24 (got {n}); use engine='xla'."
+        )
+    eng = _sym_engine(graph)
 
     run = getattr(eng, "_wcc_run", None)
     if run is None:

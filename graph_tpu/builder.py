@@ -30,6 +30,7 @@ class GraphBuilder:
         self._values = None
         self._node_values = None
         self._node_count = None
+        self._prebuilt = None  # full graph loaded by BinaryInput
 
     # -- configuration ----------------------------------------------------
 
@@ -108,6 +109,10 @@ class GraphBuilder:
             from graph_tpu.io.edgelist import EdgeListInput
 
             fmt = EdgeListInput()
+        if hasattr(fmt, "read_graph"):
+            # snapshot formats carry a whole graph (input/binary.rs:21-28)
+            self._prebuilt = fmt.read_graph(path, self._id_dtype)
+            return self
         src, dst, values, node_count = fmt.read(path)
         self._src, self._dst, self._values = src, dst, values
         if self._node_count is None and node_count is not None:
@@ -117,7 +122,7 @@ class GraphBuilder:
     # -- build --------------------------------------------------------------
 
     def _check(self):
-        if self._src is None:
+        if self._src is None and self._prebuilt is None:
             raise GraphError("no edge input provided (edges/coo/gdl/path)")
         if self._node_values is not None:
             n = self._node_count
@@ -131,6 +136,10 @@ class GraphBuilder:
 
     def build_directed(self) -> DirectedCsrGraph:
         self._check()
+        if self._prebuilt is not None:
+            if not isinstance(self._prebuilt, DirectedCsrGraph):
+                raise GraphError("snapshot contains an undirected graph")
+            return self._prebuilt
         return build_directed(
             self._src,
             self._dst,
@@ -143,6 +152,10 @@ class GraphBuilder:
 
     def build_undirected(self) -> UndirectedCsrGraph:
         self._check()
+        if self._prebuilt is not None:
+            if not isinstance(self._prebuilt, UndirectedCsrGraph):
+                raise GraphError("snapshot contains a directed graph")
+            return self._prebuilt
         return build_undirected(
             self._src,
             self._dst,

@@ -108,21 +108,53 @@ def timed_runs(runs: int, warmup_runs: int, f):
     return durations
 
 
+def _id_dtype(args):
+    """Reference parity: the app defaults to 64-bit ids (usize) and
+    ``--use-32-bit`` switches to u32 (app.rs:60-66).  Here 64-bit ids
+    are gated on JAX x64 mode; without it we fall back to int32 (the
+    graph_mate default) with a log note."""
+    if args.use_32_bit:
+        return np.int32
+    import jax
+
+    if jax.config.jax_enable_x64:
+        return np.int64
+    log.info(
+        "ids default to 32-bit here (64-bit needs JAX_ENABLE_X64=1; "
+        "the reference defaults to usize, app.rs:60-66)"
+    )
+    return np.int32
+
+
 def _load(args, undirected=False, weighted=False):
     from graph_tpu.builder import GraphBuilder
     from graph_tpu.graph.csr import CsrLayout
     from graph_tpu.io.edgelist import EdgeListInput
     from graph_tpu.io.graph500 import Graph500Input
 
-    id_dtype = np.int32 if args.use_32_bit else np.int32  # int64 gated on x64
+    id_dtype = _id_dtype(args)
     fmt = (
         Graph500Input()
         if args.format == "graph500"
         else EdgeListInput(weighted=weighted or None)
     )
+    undirected = getattr(args, "algorithm", "") == "triangle-count" or undirected
+    layout = CsrLayout.DEDUPLICATED if undirected else CsrLayout.UNSORTED
+    if args.graph == "adjacency-list":
+        # `-g adjacency-list` benchmarks the mutable edge-buffer storage
+        # (app.rs:71-76 analog): bulk-load into the AL graph, snapshot.
+        from graph_tpu.graph.adj import DirectedALGraph, UndirectedALGraph
+
+        src, dst, values, node_count = fmt.read(args.path)
+        if node_count is None:
+            node_count = int(max(src.max(), dst.max())) + 1 if len(src) else 0
+        cls = UndirectedALGraph if undirected else DirectedALGraph
+        al = cls(node_count, edges=list(zip(src.tolist(), dst.tolist())),
+                 values=values, layout=layout, id_dtype=id_dtype)
+        return al.snapshot()
     b = GraphBuilder().id_dtype(id_dtype).file_format(fmt).path(args.path)
-    if getattr(args, "algorithm", "") == "triangle-count" or undirected:
-        b = b.csr_layout(CsrLayout.DEDUPLICATED)
+    if undirected:
+        b = b.csr_layout(layout)
         return b.build_undirected()
     return b.build_directed()
 
@@ -137,7 +169,8 @@ def main(argv=None):
         level=logging.INFO if args.verbose else logging.WARNING,
         format="%(asctime)s %(levelname)s %(name)s - %(message)s",
     )
-    log.info("Reading graph (%s bit) from: %s", 32 if args.use_32_bit else 32, args.path)
+    log.info("Reading graph (%d bit) from: %s",
+             np.dtype(_id_dtype(args)).itemsize * 8, args.path)
 
     if args.algorithm == "page-rank":
         from graph_tpu.algos.pagerank import PageRankConfig, page_rank

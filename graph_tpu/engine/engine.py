@@ -31,32 +31,86 @@ class EdgeEngine:
                               values=values, colorer=colorer),
                    interpret=interpret)
 
-    def spmv(self, x: jax.Array) -> jax.Array:
+    def spmv(self, x: jax.Array, bound: float = 1.0) -> jax.Array:
         """y[d] = sum_{(s,d) in E} x[s]; x: (n,) f32 -> y: (n,) f32.
 
-        Segment sums must stay below 2**(31-FIXED_BITS) in magnitude
-        (PageRank contributions sum to <= 1 per node, well within).
+        Contributions are accumulated in int32 fixed point, so each
+        per-destination sum must stay below 2**(31-FIXED_BITS) = 2 in
+        magnitude or it silently wraps mod 2**32.  ``bound`` is the
+        caller's promise of the largest per-destination |sum|: inputs
+        are pre-scaled by 1/bound and the result rescaled, trading one
+        bit of fixed-point precision per doubling.  PageRank sums are
+        <= 1 (the default); pass a larger bound for general SpMV use.
 
         NOTE: closes over the plan's device arrays — fine for eager use
         or small graphs, but inside a jit the arrays become embedded
         constants.  For large graphs use :meth:`spmv_dev` and pass
         ``self.dev`` through the jit arguments.
         """
-        return self.spmv_dev(self.dev, x)
+        return self.spmv_dev(self.dev, x, bound=bound)
 
-    def spmv_dev(self, dev, x: jax.Array) -> jax.Array:
-        """Functional spmv: plan arrays passed explicitly (jit-arg safe)."""
+    def spmv_dev(self, dev, x: jax.Array, bound: float = 1.0) -> jax.Array:
+        """Functional spmv: plan arrays passed explicitly (jit-arg safe).
+
+        See :meth:`spmv` for the ``bound`` fixed-point range contract.
+        """
+        return self.apply_dev(dev, x, bound=bound)
+
+    def apply(self, x: jax.Array, *, combine: str = "none",
+              reduce: str = "sum", bound: float = 1.0) -> jax.Array:
+        """Generic semiring edge-map-reduce: the public engine surface.
+
+        ``y[d] = reduce over edges (s -> d) of combine(x[s], w(s,d))``
+
+        combine: "none" (x[s]), "mul" (x[s] * w), "add" (x[s] + w —
+        the tropical combine); reduce: "sum" or "min".  Named
+        instances: (none, sum) = :meth:`spmv`, (add, min) =
+        :meth:`relax` (Bellman-Ford), (none, min) = :meth:`smin` (WCC
+        hooks), (mul, sum) = weighted SpMV.  Replaces the reference's
+        per-algorithm pull loops (page_rank.rs:143-146, sssp.rs:184-202)
+        with one compiled plan.
+
+        reduce="sum" accumulates in int32 fixed point; see :meth:`spmv`
+        for the ``bound`` contract.  reduce="min" requires values exact
+        in f32 and nonnegative (IEEE order == integer order).
+        """
+        return self.apply_dev(self.dev, x, combine=combine, reduce=reduce,
+                              bound=bound)
+
+    def apply_dev(self, dev, x: jax.Array, *, combine: str = "none",
+                  reduce: str = "sum", bound: float = 1.0) -> jax.Array:
+        """Functional :meth:`apply`: plan arrays passed explicitly."""
+        from graph_tpu.engine.kernels import FIXED_BITS, INF
+
+        if combine not in ("none", "add", "mul"):
+            raise ValueError(f"combine must be none|add|mul, got {combine!r}")
+        if reduce not in ("sum", "min"):
+            raise ValueError(f"reduce must be sum|min, got {reduce!r}")
+        if combine != "none" and "weights" not in dev:
+            raise ValueError(
+                f"combine={combine!r} needs a plan built with edge values")
+        if bound != 1.0:
+            if reduce != "sum" or combine == "add":
+                raise ValueError(
+                    "bound rescaling is only valid for linear reductions "
+                    "(reduce='sum' with combine 'none'/'mul')")
+            return self.apply_dev(dev, x * jnp.float32(1.0 / bound),
+                                  combine=combine, reduce=reduce) * bound
         p = self.plan
-        xp = jnp.zeros(p.nx, jnp.float32).at[: p.n].set(x)
+        fill = 0.0 if reduce == "sum" else INF
+        xp = jnp.full(p.nx, fill, jnp.float32).at[: p.n].set(x)
+        weights = dev.get("weights") if combine != "none" else None
         contrib = k1_gather(xp, dev["widx"], dev["border"], dev["sb"],
-                            dev["ws"], interpret=self.interpret)
+                            dev["ws"], weights=weights, combine=combine,
+                            interpret=self.interpret)
         y_mids = k2_reduce(contrib, dev["wa"], dev["wb"], dev["cidx"],
-                           dev["meta"], dev["sec_mid"], p.nmid,
+                           dev["meta"], dev["sec_mid"], p.nmid, op=reduce,
+                           sstart=dev.get("sstart"),
                            interpret=self.interpret)
-        from graph_tpu.engine.kernels import FIXED_BITS
-
         y = y_mids.reshape(-1)[: p.n]
-        return y.astype(jnp.float32) / jnp.float32(1 << FIXED_BITS)
+        if reduce == "sum":
+            return y.astype(jnp.float32) / jnp.float32(1 << FIXED_BITS)
+        return jax.lax.bitcast_convert_type(y, jnp.float32)
 
     def relax(self, dist: jax.Array) -> jax.Array:
         """y[d] = min over weighted edges (s -> d) of dist[s] + w.
@@ -68,18 +122,7 @@ class EdgeEngine:
         return self.relax_dev(self.dev, dist)
 
     def relax_dev(self, dev, dist: jax.Array) -> jax.Array:
-        from graph_tpu.engine.kernels import INF
-
-        p = self.plan
-        xp = jnp.full(p.nx, INF, jnp.float32).at[: p.n].set(dist)
-        contrib = k1_gather(xp, dev["widx"], dev["border"], dev["sb"],
-                            dev["ws"], weights=dev["weights"], combine="add",
-                            interpret=self.interpret)
-        y_mids = k2_reduce(contrib, dev["wa"], dev["wb"], dev["cidx"],
-                           dev["meta"], dev["sec_mid"], p.nmid, op="min",
-                           sstart=dev["sstart"], interpret=self.interpret)
-        y = y_mids.reshape(-1)[: p.n]
-        return jax.lax.bitcast_convert_type(y, jnp.float32)
+        return self.apply_dev(dev, dist, combine="add", reduce="min")
 
     def smin(self, x: jax.Array) -> jax.Array:
         """y[d] = min over edges (s -> d) of x[s]; empty rows get +3e38.
@@ -89,17 +132,7 @@ class EdgeEngine:
         return self.smin_dev(self.dev, x)
 
     def smin_dev(self, dev, x: jax.Array) -> jax.Array:
-        from graph_tpu.engine.kernels import INF
-
-        p = self.plan
-        xp = jnp.full(p.nx, INF, jnp.float32).at[: p.n].set(x)
-        contrib = k1_gather(xp, dev["widx"], dev["border"], dev["sb"],
-                            dev["ws"], interpret=self.interpret)
-        y_mids = k2_reduce(contrib, dev["wa"], dev["wb"], dev["cidx"],
-                           dev["meta"], dev["sec_mid"], p.nmid, op="min",
-                           sstart=dev["sstart"], interpret=self.interpret)
-        y = y_mids.reshape(-1)[: p.n]
-        return jax.lax.bitcast_convert_type(y, jnp.float32)
+        return self.apply_dev(dev, x, reduce="min")
 
 
 
@@ -119,9 +152,11 @@ def engine_for(graph, kind: str, build_fn):
     eng = _GRAPH_ENGINES.get(key)
     if eng is None:
         eng = build_fn()
-        _GRAPH_ENGINES[key] = eng
         try:
             weakref.finalize(graph, _GRAPH_ENGINES.pop, key, None)
         except TypeError:
-            pass
+            # Not weakref-able: don't cache — an id-keyed entry with no
+            # eviction could later serve a different graph reusing the id.
+            return eng
+        _GRAPH_ENGINES[key] = eng
     return eng

@@ -33,10 +33,13 @@ class MissingNode(GraphError):
 
 
 class _ALGraphBase:
-    def __init__(self, node_count: int, edges=None, values=None, layout=CsrLayout.UNSORTED):
+    def __init__(self, node_count: int, edges=None, values=None,
+                 layout=CsrLayout.UNSORTED, id_dtype=np.int32):
         self._node_count = int(node_count)
-        self._src = [] if edges is None else [int(s) for s, _ in edges]
-        self._dst = [] if edges is None else [int(t) for _, t in edges]
+        self._id_dtype = id_dtype
+        edges = [] if edges is None else list(edges)
+        self._src = [int(s) for s, _ in edges]
+        self._dst = [int(t) for _, t in edges]
         self._values = None
         if values is not None:
             self._values = [float(v) for v in values]
@@ -111,6 +114,7 @@ class DirectedALGraph(_ALGraphBase):
         return build_directed(
             src.reshape(-1), dst.reshape(-1), vals,
             node_count=self._node_count, layout=self.layout,
+            id_dtype=self._id_dtype,
         )
 
 
@@ -124,4 +128,5 @@ class UndirectedALGraph(_ALGraphBase):
         return build_undirected(
             src.reshape(-1), dst.reshape(-1), vals,
             node_count=self._node_count, layout=self.layout,
+            id_dtype=self._id_dtype,
         )

@@ -131,12 +131,22 @@ def load_graph(path: str, id_dtype=np.int32):
 
 
 class BinaryInput:
-    """``BinaryInput`` analog (input/binary.rs:13-38) for the builder."""
+    """``BinaryInput`` analog (input/binary.rs:13-38) for the builder.
 
-    def __init__(self, id_dtype=np.int32):
+    Unlike the edge-stream inputs, a snapshot already contains a full
+    graph (the reference's ``GraphInput`` for binary is the graph
+    itself, input/binary.rs:21-28), so this plugs into the builder via
+    ``read_graph``::
+
+        GraphBuilder().file_format(BinaryInput()).path(p).build_directed()
+
+    Raises :class:`InvalidIdType` when the snapshot's id dtype does not
+    match the builder's (csr.rs:285-290 parity).
+    """
+
+    def __init__(self, id_dtype=None):
         self.id_dtype = id_dtype
 
-    def read(self, path: str):
-        raise GraphError(
-            "BinaryInput loads full graphs; use graph_tpu.io.binary.load_graph"
-        )
+    def read_graph(self, path: str, id_dtype=np.int32):
+        return load_graph(path, self.id_dtype if self.id_dtype is not None
+                          else id_dtype)

@@ -45,3 +45,45 @@ def test_serialize_cli(test_el_path, tmp_path):
 def test_missing_subcommand():
     with pytest.raises(SystemExit):
         run([])
+
+
+def test_adjacency_list_cli(test_el_path):
+    assert run([
+        "page-rank", "-p", test_el_path, "-g", "adjacency-list",
+        "-r", "1", "-w", "0",
+    ]) == 0
+
+
+def test_adjacency_list_loads_al_graph(test_el_path):
+    import numpy as np
+
+    from graph_tpu.cli import _load, build_parser
+    from graph_tpu.graph.csr import DirectedCsrGraph
+
+    args = build_parser().parse_args(
+        ["wcc", "-p", test_el_path, "-g", "adjacency-list"])
+    g_al = _load(args)
+    args2 = build_parser().parse_args(["wcc", "-p", test_el_path])
+    g_csr = _load(args2)
+    assert isinstance(g_al, DirectedCsrGraph)
+    assert g_al.node_count == g_csr.node_count
+    assert g_al.edge_count == g_csr.edge_count
+    assert np.array_equal(np.asarray(g_al.csr_out.offsets),
+                          np.asarray(g_csr.csr_out.offsets))
+
+
+def test_use_32_bit_flag_switches_id_dtype(test_el_path):
+    import jax
+    import numpy as np
+
+    from graph_tpu.cli import _id_dtype, build_parser
+
+    args32 = build_parser().parse_args(
+        ["wcc", "-p", test_el_path, "--use-32-bit"])
+    args64 = build_parser().parse_args(["wcc", "-p", test_el_path])
+    assert _id_dtype(args32) == np.int32
+    # without the flag: 64-bit when x64 is on (reference default), else 32
+    assert _id_dtype(args64) == np.int32  # x64 off in the test env
+    with jax.enable_x64(True):
+        assert _id_dtype(args64) == np.int64
+        assert _id_dtype(args32) == np.int32

@@ -254,3 +254,55 @@ def test_plan_save_load_roundtrip(tmp_path):
     for f in ("widx", "sb", "ws", "border", "weights", "wa", "wb",
               "cidx", "sstart", "meta", "sec_mid"):
         assert np.array_equal(getattr(plan, f), getattr(p2, f)), f
+
+
+def test_engine_apply_weighted_spmv_interpret():
+    n, m = 3000, 12000
+    src, dst = _random_graph(n, m, seed=51)
+    w = (rng.random(m)).astype(np.float32)
+    from graph_tpu.engine.engine import EdgeEngine
+
+    eng = EdgeEngine.build(src, dst, n, values=w, interpret=True)
+    x = (rng.random(n) * 1e-4).astype(np.float32)
+    import jax.numpy as jnp
+
+    y = np.asarray(eng.apply(jnp.asarray(x), combine="mul", reduce="sum"))
+    y_exp = np.zeros(n, np.float64)
+    q = np.round((x[src] * w).astype(np.float64) * (1 << 30)) / (1 << 30)
+    np.add.at(y_exp, dst, q)
+    assert np.abs(y - y_exp).max() < 1e-5
+
+
+def test_engine_apply_bound_rescale_interpret():
+    n, m = 2000, 8000
+    src, dst = _random_graph(n, m, seed=61)
+    from graph_tpu.engine.engine import EdgeEngine
+
+    eng = EdgeEngine.build(src, dst, n, interpret=True)
+    import jax.numpy as jnp
+
+    # values whose per-destination sums exceed the fixed-point range of 2
+    x = (rng.random(n) * 10).astype(np.float32)
+    y = np.asarray(eng.apply(jnp.asarray(x), bound=4096.0))
+    y_exp = np.zeros(n, np.float64)
+    np.add.at(y_exp, dst, x[src].astype(np.float64))
+    assert np.abs(y - y_exp).max() < y_exp.max() * 1e-5 + 1e-4
+
+
+def test_engine_apply_validation():
+    n, m = 1000, 4000
+    src, dst = _random_graph(n, m, seed=71)
+    from graph_tpu.engine.engine import EdgeEngine
+
+    eng = EdgeEngine.build(src, dst, n, interpret=True)
+    import jax.numpy as jnp
+
+    x = jnp.zeros(n, jnp.float32)
+    with pytest.raises(ValueError, match="combine"):
+        eng.apply(x, combine="xor")
+    with pytest.raises(ValueError, match="reduce"):
+        eng.apply(x, reduce="max")
+    with pytest.raises(ValueError, match="edge values"):
+        eng.apply(x, combine="mul")
+    with pytest.raises(ValueError, match="bound"):
+        eng.apply(x, reduce="min", bound=2.0)

@@ -113,3 +113,30 @@ def test_pagerank_scale8(scale8_path):
     assert len(s) == 256
     assert (s > 0).all()
     assert res.ran_iterations >= 1
+
+
+def test_plan_engine_recompiles_for_new_damping():
+    """Regression: the compiled plan run must not bake in damping or
+    tolerance (round-1 bug returned first-config scores for later
+    configs that shared max_iterations)."""
+    import jax.numpy as jnp
+
+    from graph_tpu.engine import engine as eng_mod
+    from graph_tpu.engine.engine import EdgeEngine
+    from graph_tpu.graph.build import build_directed
+
+    src = np.array([s for s, _ in WIKI_EDGES])
+    dst = np.array([t for _, t in WIKI_EDGES])
+    graph = build_directed(jnp.asarray(src), jnp.asarray(dst), node_count=13)
+    eng = EdgeEngine.build(src, dst, 13, interpret=True)
+    eng_mod._GRAPH_ENGINES[(id(graph), "fwd")] = eng
+
+    r1 = page_rank(graph, PageRankConfig(damping_factor=0.85, engine="plan"))
+    r2 = page_rank(graph, PageRankConfig(damping_factor=0.5, engine="plan"))
+    r3 = page_rank(graph, PageRankConfig(damping_factor=0.85, engine="plan",
+                                         tolerance=1e-1))
+    assert not np.allclose(r1.scores_np(), r2.scores_np())
+    assert r3.ran_iterations < r1.ran_iterations
+    # and the 0.5-damping result actually matches an XLA run
+    r2x = page_rank(graph, PageRankConfig(damping_factor=0.5, engine="cumsum"))
+    np.testing.assert_allclose(r2.scores_np(), r2x.scores_np(), atol=1e-6)

@@ -63,3 +63,32 @@ def test_el_to_binary_roundtrip(tmp_path, test_el_path):
     assert np.array_equal(
         np.asarray(g2.csr_out.targets), np.asarray(g.csr_out.targets)
     )
+
+
+def test_binary_input_plugs_into_builder(tmp_path):
+    """Reference parity: BinaryInput as a builder file_format
+    (crates/builder/src/input/binary.rs:13-38)."""
+    import numpy as np
+    import pytest
+
+    from graph_tpu import GraphBuilder, InvalidIdType
+    from graph_tpu.errors import GraphError
+    from graph_tpu.io.binary import BinaryInput, save_graph
+
+    g = GraphBuilder().edges([(0, 1), (1, 2), (2, 0), (0, 2)]).build_directed()
+    path = str(tmp_path / "g.bin")
+    save_graph(path, g)
+
+    g2 = (GraphBuilder().file_format(BinaryInput()).path(path)
+          .build_directed())
+    assert g2.node_count == g.node_count
+    assert g2.edge_count == g.edge_count
+    assert np.array_equal(np.asarray(g2.csr_out.targets),
+                          np.asarray(g.csr_out.targets))
+    # id-dtype mismatch raises like csr.rs:285-290
+    with pytest.raises(InvalidIdType):
+        GraphBuilder().file_format(BinaryInput(np.int64)).path(path)
+    # wrong graph kind errors
+    with pytest.raises(GraphError):
+        (GraphBuilder().file_format(BinaryInput()).path(path)
+         .build_undirected())

@@ -82,3 +82,25 @@ def test_wcc_scale8(scale8_path):
     rmapping = {}
     for ours, theirs in zip(c, roots):
         assert rmapping.setdefault(int(theirs), int(ours)) == int(ours)
+
+
+def test_wcc_variant_apis_agree():
+    from graph_tpu import wcc_afforest, wcc_afforest_dss, wcc_baseline
+    from graph_tpu import GraphBuilder
+
+    g = GraphBuilder().edges([(0, 1), (1, 2), (3, 4)]).build_directed()
+    base = wcc_baseline(g).components_np()
+    assert np.array_equal(base, wcc_afforest(g).components_np())
+    assert np.array_equal(base, wcc_afforest_dss(g).components_np())
+
+
+def test_wcc_plan_rejects_oversized_f32_labels():
+    import pytest
+
+    from graph_tpu.algos.wcc import _wcc_plan
+
+    class Huge:
+        node_count = (1 << 24) + 1
+
+    with pytest.raises(ValueError, match="2\\*\\*24"):
+        _wcc_plan(Huge())
