@@ -101,12 +101,11 @@ class EdgeEngine:
         xp = jnp.full(p.nx, fill, jnp.float32).at[: p.n].set(x)
         weights = dev.get("weights") if combine != "none" else None
         contrib = k1_gather(xp, dev["widx"], dev["border"], dev["sb"],
-                            dev["ws"], weights=weights, combine=combine,
-                            interpret=self.interpret)
-        y_mids = k2_reduce(contrib, dev["wa"], dev["wb"], dev["cidx"],
-                           dev["meta"], dev["sec_mid"], p.nmid, op=reduce,
-                           sstart=dev.get("sstart"),
-                           interpret=self.interpret)
+                            dev["ws"], win=p.win, weights=weights,
+                            combine=combine, interpret=self.interpret)
+        y_mids = k2_reduce(contrib, dev["wa"], dev["wb"], dev["sstart"],
+                           dev["wa2"], dev["wb2"], dev["sec_mid"], p.nmid,
+                           op=reduce, interpret=self.interpret)
         y = y_mids.reshape(-1)[: p.n]
         if reduce == "sum":
             return y.astype(jnp.float32) / jnp.float32(1 << FIXED_BITS)

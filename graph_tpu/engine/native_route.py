@@ -32,8 +32,7 @@ def _load():
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint16),
             ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint16),
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint16), ctypes.c_int,
         ]
         _lib = lib
     except Exception as exc:  # pragma: no cover - env without g++
@@ -45,8 +44,8 @@ def _load():
 def build_sections_native(keys: np.ndarray, nthreads: int = 0):
     """Route all sections at once. keys: (nsec*65536,) int32.
 
-    Returns (wa, wb, cidx, sstart, ws2, nsub) or None if the native
-    library is unavailable.
+    Returns (wa, wb, sstart, wa2, wb2) or None if the native library is
+    unavailable.
     """
     lib = _load()
     if lib is None:
@@ -55,32 +54,30 @@ def build_sections_native(keys: np.ndarray, nthreads: int = 0):
     nsec = keys.size // 65536
     wa = np.empty(keys.size, np.uint16)
     wb = np.empty(keys.size, np.uint16)
-    cidx = np.empty(keys.size, np.uint16)
     sstart = np.empty(keys.size, np.uint16)
-    ws2 = np.empty(nsec * 64, np.int32)
-    nsub = np.empty(nsec * 64, np.int32)
+    wa2 = np.empty(keys.size, np.uint16)
+    wb2 = np.empty(keys.size, np.uint16)
     if nthreads <= 0:
         nthreads = min(32, os.cpu_count() or 1)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
     rc = lib.gt_build_sections(
         keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         ctypes.c_int64(nsec),
-        wa.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
-        wb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
-        cidx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
-        sstart.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
-        ws2.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        nsub.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        wa.ctypes.data_as(u16p), wb.ctypes.data_as(u16p),
+        sstart.ctypes.data_as(u16p),
+        wa2.ctypes.data_as(u16p), wb2.ctypes.data_as(u16p),
         ctypes.c_int(nthreads),
     )
     if rc != 0:  # pragma: no cover
         return None
-    return wa, wb, cidx, sstart, ws2, nsub
+    return wa, wb, sstart, wa2, wb2
 
 
 class _GtLayout(ctypes.Structure):
     _fields_ = [
         ("nslots", ctypes.c_int64),
         ("nmid", ctypes.c_int64),
+        ("win", ctypes.c_int64),
         ("widx", ctypes.POINTER(ctypes.c_uint16)),
         ("keys", ctypes.POINTER(ctypes.c_int32)),
         ("wvals", ctypes.POINTER(ctypes.c_float)),
@@ -106,7 +103,7 @@ def _load_layout():
         lib.gt_build_layout.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int,
         ]
         lib.gt_layout_free.argtypes = [ctypes.POINTER(_GtLayout)]
         _layout_lib = lib
@@ -116,8 +113,10 @@ def _load_layout():
     return _layout_lib
 
 
-def build_layout_native(src, dst, values=None, n=0, nthreads: int = 0):
-    """Sort + slot-stream layout in C++. Returns dict of arrays or None."""
+def build_layout_native(src, dst, values=None, n=0, win: int = 0,
+                        nthreads: int = 0):
+    """Sort + slot-stream layout in C++ (win=0 auto-selects the K1
+    gather window). Returns dict of arrays or None."""
     lib = _load_layout()
     if lib is None:
         return None
@@ -133,12 +132,13 @@ def build_layout_native(src, dst, values=None, n=0, nthreads: int = 0):
         src.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         dst.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         vptr, ctypes.c_int64(src.size), ctypes.c_int64(n),
-        ctypes.c_int(nthreads))
+        ctypes.c_int64(win), ctypes.c_int(nthreads))
     L = Lp.contents
     ns = L.nslots
     out = {
         "nslots": int(ns),
         "nmid": int(L.nmid),
+        "win": int(L.win),
         "widx": np.ctypeslib.as_array(L.widx, (ns,)).copy(),
         "keys": np.ctypeslib.as_array(L.keys, (ns,)).copy(),
         "ws": np.ctypeslib.as_array(L.ws, (ns // 1024,)).copy(),

@@ -18,8 +18,11 @@ Layout (constants shared with kernels.py):
 * K1 metadata: per-block x-slice index (sb), per-tile window start
   (ws), per-slot slice-local src (widx, uint16), and a slice-major
   block visit order (border) so x slices stream through VMEM once.
-* K2 metadata: per-section packed Benes routing (wa, wb), compaction
-  cell indices (cidx), window starts / counts (meta), section mid ids.
+* K2 metadata: per-section packed Benes routing into destination-sorted
+  order (wa, wb), segment-start positions for the in-kernel segmented
+  scan (sstart), a second packed Benes route moving each destination's
+  segment-end value to its output position with a per-output present
+  bit (wa2, wb2), and section mid ids.
 """
 
 from __future__ import annotations
@@ -33,8 +36,7 @@ import numpy as np
 
 from graph_tpu.engine import route as _route
 from graph_tpu.engine.kernels import (
-    BLK, BLOCK_SPAN, MID, NSLICES, SEC, SEC_R, SLICE, SPAN_BUDGET, TILE,
-    TPB, WIN,
+    BLK, BLOCK_SPAN, MID, NSLICES, SEC, SEC_R, SLICE, TILE, TPB, WIN,
 )
 
 logger = logging.getLogger(__name__)
@@ -51,18 +53,21 @@ class EdgePlan:
     nsec: int
     nx: int  # padded x length (multiple of SLICE, covers all slices + 1)
     # K1
+    win: int             # per-graph K1 gather window (power of two)
     widx: np.ndarray     # (nslots//128, 128) uint16
     sb: np.ndarray       # (nblocks,) int32
     ws: np.ndarray       # (ntiles,) int32
     border: np.ndarray   # (nblocks,) int32 grid order
     weights: "np.ndarray | None"  # (nslots//128, 128) f32 per-slot weights
     # K2
-    wa: np.ndarray       # (nsec*512, 128) uint16
+    wa: np.ndarray       # (nsec*512, 128) uint16 route 1 (bit15: input pad)
     wb: np.ndarray       # (nsec*512, 128) uint16
-    cidx: np.ndarray     # (nsec*512, 128) uint16
     sstart: np.ndarray   # (nsec*512, 128) uint16 segment-start positions
-    meta: np.ndarray     # (nsec*129,) int32
+    wa2: np.ndarray      # (nsec*512, 128) uint16 route 2 (bit15: present)
+    wb2: np.ndarray      # (nsec*512, 128) uint16
     sec_mid: np.ndarray  # (nsec,) int32
+
+    FORMAT_VERSION = 2  # v2: compaction replaced by route 2 (wa2/wb2)
 
     def save(self, path: str) -> None:
         """Snapshot the plan (same discipline as the reference's binary
@@ -71,26 +76,34 @@ class EdgePlan:
         np.savez(
             path,
             __header__=np.array([self.n, self.m, self.nslots, self.nmid,
-                                 self.nsec, self.nx], np.int64),
-            widx=self.widx, sb=self.sb, ws=self.ws, border=self.border,
+                                 self.nsec, self.nx, self.FORMAT_VERSION,
+                                 self.win], np.int64),
+            widx=self.widx, sb=self.sb, ws=self.ws,
+            border=self.border,
             weights=(np.zeros(0, np.float32) if self.weights is None
                      else self.weights),
-            wa=self.wa, wb=self.wb, cidx=self.cidx, sstart=self.sstart,
-            meta=self.meta, sec_mid=self.sec_mid,
+            wa=self.wa, wb=self.wb, sstart=self.sstart,
+            wa2=self.wa2, wb2=self.wb2, sec_mid=self.sec_mid,
         )
 
     @staticmethod
     def load(path: str) -> "EdgePlan":
         z = np.load(path)
         h = z["__header__"]
+        if h.size < 7 or int(h[6]) != EdgePlan.FORMAT_VERSION:
+            raise ValueError(
+                f"{path}: plan format "
+                f"{int(h[6]) if h.size > 6 else 1} != "
+                f"{EdgePlan.FORMAT_VERSION}; rebuild the plan")
         w = z["weights"]
         return EdgePlan(
             n=int(h[0]), m=int(h[1]), nslots=int(h[2]), nmid=int(h[3]),
-            nsec=int(h[4]), nx=int(h[5]),
-            widx=z["widx"], sb=z["sb"], ws=z["ws"], border=z["border"],
+            nsec=int(h[4]), nx=int(h[5]), win=int(h[7]),
+            widx=z["widx"], sb=z["sb"], ws=z["ws"],
+            border=z["border"],
             weights=None if w.size == 0 else w,
-            wa=z["wa"], wb=z["wb"], cidx=z["cidx"], sstart=z["sstart"],
-            meta=z["meta"], sec_mid=z["sec_mid"],
+            wa=z["wa"], wb=z["wb"], sstart=z["sstart"],
+            wa2=z["wa2"], wb2=z["wb2"], sec_mid=z["sec_mid"],
         )
 
     def device_arrays(self):
@@ -105,12 +118,30 @@ class EdgePlan:
             "border": jnp.asarray(self.border),
             "wa": jnp.asarray(self.wa),
             "wb": jnp.asarray(self.wb),
-            "cidx": jnp.asarray(self.cidx),
             "sstart": jnp.asarray(self.sstart),
-            "meta": jnp.asarray(self.meta),
+            "wa2": jnp.asarray(self.wa2),
+            "wb2": jnp.asarray(self.wb2),
             "sec_mid": jnp.asarray(self.sec_mid),
         })
         return out
+
+
+#: Candidate K1 gather windows.  Smaller windows unroll fewer scan rows
+#: (3 VREG ops per row per 1024-slot tile) but split wide tiles into
+#: pads; WIN_COST_RATIO is the measured ratio of a tile's fixed cost
+#: (IO + K2 share) to one window-row scan (~0.12 ns / 0.0024 ns).
+WIN_CANDIDATES = (2048, 4096, 8192)
+WIN_COST_RATIO = 48
+
+
+def pick_win(nslots_by_win) -> int:
+    """argmin over candidates of nslots * (WIN_COST_RATIO + win/128)."""
+    best, best_cost = None, None
+    for win, nslots in nslots_by_win.items():
+        cost = nslots * (WIN_COST_RATIO + win // 128)
+        if best_cost is None or cost < best_cost:
+            best, best_cost = win, cost
+    return best
 
 
 def build_plan(
@@ -119,13 +150,15 @@ def build_plan(
     n: int,
     values: Optional[np.ndarray] = None,
     colorer=None,
+    win: Optional[int] = None,
 ) -> EdgePlan:
     """Compile an edge list into an EdgePlan.
 
     src, dst: (m,) integer arrays (the plan gathers x[src] and reduces
     into y[dst]).  `colorer` optionally overrides the bipartite
     edge-coloring (native C++ implementation); defaults to the python
-    one in graph_tpu.engine.route.
+    one in graph_tpu.engine.route.  ``win`` pins the K1 gather window
+    (power of two in WIN_CANDIDATES); None auto-selects per graph.
     """
     t0 = time.perf_counter()
     src = np.asarray(src, dtype=np.int64)
@@ -134,7 +167,8 @@ def build_plan(
     nmid = max(1, -(-n // MID))
 
     if colorer is None:
-        plan = _build_plan_native(src, dst, n, values, m, nmid, t0)
+        plan = _build_plan_native(src, dst, n, values, m, nmid, t0,
+                                  win=win or 0)
         if plan is not None:
             return plan
 
@@ -145,6 +179,14 @@ def build_plan(
     val_s = None if values is None else np.asarray(values, np.float32)[order]
 
     mid_starts = np.searchsorted(mid_s, np.arange(nmid + 1))
+
+    if win is None:
+        counts = {}
+        for cand in WIN_CANDIDATES:
+            counts[cand] = sum(
+                _count_slots(src_s[mid_starts[mi]:mid_starts[mi + 1]], cand)
+                for mi in range(nmid))
+        win = pick_win(counts)
 
     # ---- slot stream layout (per mid)
     tile_srcs: list = []       # per tile: array of real srcs or None
@@ -159,7 +201,7 @@ def build_plan(
         s0 = slot
         slot = _layout_mid_with_dst(
             src_s[lo:hi], dstl_s[lo:hi], tile_srcs, tile_pads, tile_dstl, s0,
-            tile_eidx, lo)
+            tile_eidx, lo, win=win)
         nsec_i = (slot - s0) // SEC
         sec_mid_list.extend([mi] * nsec_i)
     nslots = slot
@@ -200,7 +242,7 @@ def build_plan(
         base = sb[b] * SLICE
         if srcs is not None and srcs.size:
             first_local = srcs[0] - base
-            ws[t] = min((first_local // 1024) * 1024, NSLICES * SLICE - WIN)
+            ws[t] = min((first_local // 1024) * 1024, NSLICES * SLICE - win)
         else:
             ws[t] = 0
         fill = np.zeros(TILE, np.int64)  # pads gather window slot 0
@@ -220,52 +262,40 @@ def build_plan(
 
     # ---- K2 per-section routing (native C++ when available)
     sec_mid_arr = np.asarray(sec_mid_list, np.int32)
-    first_flags = np.ones(nsec, np.int32)
-    if nsec > 1:
-        first_flags[1:] = (sec_mid_arr[1:] != sec_mid_arr[:-1]).astype(np.int32)
     native = None
     if colorer is None:
         from graph_tpu.engine.native_route import build_sections_native
 
         native = build_sections_native(slot_dstl)
     if native is not None:
-        wa_f, wb_f, cidx_f, sstart_f, ws2_f, nsub_f = native
+        wa_f, wb_f, sstart_f, wa2_f, wb2_f = native
         wa = wa_f.reshape(nsec * SEC_R, 128)
         wb = wb_f.reshape(nsec * SEC_R, 128)
-        cidx = cidx_f.reshape(nsec * SEC_R, 128)
         sstart = sstart_f.reshape(nsec * SEC_R, 128)
-        meta = np.zeros(nsec * 129, np.int32)
-        mv = meta.reshape(nsec, 129)
-        mv[:, 0] = first_flags
-        mv[:, 1:65] = ws2_f.reshape(nsec, 64)
-        mv[:, 65:129] = nsub_f.reshape(nsec, 64)
+        wa2 = wa2_f.reshape(nsec * SEC_R, 128)
+        wb2 = wb2_f.reshape(nsec * SEC_R, 128)
     else:
         wa = np.zeros((nsec * SEC_R, 128), np.uint16)
         wb = np.zeros((nsec * SEC_R, 128), np.uint16)
-        cidx = np.zeros((nsec * SEC_R, 128), np.uint16)
         sstart = np.zeros((nsec * SEC_R, 128), np.uint16)
-        meta = np.zeros(nsec * 129, np.int32)
+        wa2 = np.zeros((nsec * SEC_R, 128), np.uint16)
+        wb2 = np.zeros((nsec * SEC_R, 128), np.uint16)
         for s in range(nsec):
             keys = slot_dstl[s * SEC:(s + 1) * SEC]
-            wa_s, wb_s, ci_s, ss_s, ws2_s, nsub_s = _section_python(
-                keys, colorer)
-            meta_s = np.zeros(129, np.int32)
-            meta_s[0] = first_flags[s]
-            meta_s[1:65] = ws2_s
-            meta_s[65:129] = nsub_s
+            wa_s, wb_s, ss_s, wa2_s, wb2_s = _section_python(keys, colorer)
             wa[s * SEC_R:(s + 1) * SEC_R] = wa_s
             wb[s * SEC_R:(s + 1) * SEC_R] = wb_s
-            cidx[s * SEC_R:(s + 1) * SEC_R] = ci_s
             sstart[s * SEC_R:(s + 1) * SEC_R] = ss_s
-            meta[s * 129:(s + 1) * 129] = meta_s
+            wa2[s * SEC_R:(s + 1) * SEC_R] = wa2_s
+            wb2[s * SEC_R:(s + 1) * SEC_R] = wb2_s
 
     nx = (max(int(sb.max()) + NSLICES if nblocks else NSLICES,
               -(-n // SLICE) + 1)) * SLICE
     plan = EdgePlan(
-        n=n, m=m, nslots=nslots, nmid=nmid, nsec=nsec, nx=nx,
+        n=n, m=m, nslots=nslots, nmid=nmid, nsec=nsec, nx=nx, win=win,
         widx=widx_flat.reshape(-1, 128), sb=sb, ws=ws, border=border,
         weights=None if wvals is None else wvals.reshape(-1, 128),
-        wa=wa, wb=wb, cidx=cidx, sstart=sstart, meta=meta,
+        wa=wa, wb=wb, sstart=sstart, wa2=wa2, wb2=wb2,
         sec_mid=sec_mid_arr,
     )
     logger.info(
@@ -277,8 +307,9 @@ def build_plan(
 
 
 def _layout_mid_with_dst(src, dstl, out_src, out_pad, out_dstl, slot0,
-                         out_eidx=None, edge_base=0):
+                         out_eidx=None, edge_base=0, win=WIN):
     """Greedy layout; also records per-tile (lo, hi) edge-index ranges."""
+    span_budget = win - 1024  # worst-case room above a 1024-aligned start
     m_i = src.size
     cur = 0
     slot = slot0
@@ -314,7 +345,7 @@ def _layout_mid_with_dst(src, dstl, out_src, out_pad, out_dstl, slot0,
                 out_eidx.append((0, 0))
             slot += TILE
             continue
-        hi_span = min(first + SPAN_BUDGET, block_base + BLOCK_SPAN)
+        hi_span = min(first + span_budget, block_base + BLOCK_SPAN)
         hi = np.searchsorted(src, hi_span, side="right")
         k = min(cap, hi - cur)
         out_src.append(src[cur:cur + k])
@@ -327,12 +358,44 @@ def _layout_mid_with_dst(src, dstl, out_src, out_pad, out_dstl, slot0,
     return slot
 
 
-def _build_plan_native(src, dst, n, values, m, nmid, t0):
+def _count_slots(src_sorted, win):
+    """Count-only replica of :func:`_layout_mid_with_dst` for one mid."""
+    span_budget = win - 1024
+    m_i = src_sorted.size
+    cur = 0
+    slot = 0
+    block_first = -1
+    while True:
+        if cur >= m_i and slot % SEC == 0 and slot > 0:
+            break
+        lead = 1 if slot % SEC == 0 else 0
+        if slot % BLK == 0:
+            block_first = -1
+        if cur >= m_i:
+            slot += TILE
+            if slot % SEC == 0:
+                break
+            continue
+        first = src_sorted[cur]
+        if block_first < 0:
+            block_first = first
+        block_base = (block_first // SLICE) * SLICE
+        if first - block_base > BLOCK_SPAN:
+            slot += TILE
+            continue
+        hi_span = min(first + span_budget, block_base + BLOCK_SPAN)
+        hi = np.searchsorted(src_sorted, hi_span, side="right")
+        cur += min(TILE - lead, hi - cur)
+        slot += TILE
+    return slot
+
+
+def _build_plan_native(src, dst, n, values, m, nmid, t0, win=0):
     """Full native-layout path: C++ sort+layout, C++ section routing."""
     from graph_tpu.engine.native_route import (
         build_layout_native, build_sections_native)
 
-    lay = build_layout_native(src, dst, values, n)
+    lay = build_layout_native(src, dst, values, n, win=win)
     if lay is None:
         return None
     nslots = lay["nslots"]
@@ -340,16 +403,8 @@ def _build_plan_native(src, dst, n, values, m, nmid, t0):
     native = build_sections_native(lay["keys"])
     if native is None:
         return None
-    wa_f, wb_f, cidx_f, sstart_f, ws2_f, nsub_f = native
+    wa_f, wb_f, sstart_f, wa2_f, wb2_f = native
     sec_mid_arr = lay["sec_mid"]
-    first_flags = np.ones(nsec, np.int32)
-    if nsec > 1:
-        first_flags[1:] = (sec_mid_arr[1:] != sec_mid_arr[:-1]).astype(np.int32)
-    meta = np.zeros(nsec * 129, np.int32)
-    mv = meta.reshape(nsec, 129)
-    mv[:, 0] = first_flags
-    mv[:, 1:65] = ws2_f.reshape(nsec, 64)
-    mv[:, 65:129] = nsub_f.reshape(nsec, 64)
     sb = lay["sb"]
     border = np.argsort(sb, kind="stable").astype(np.int32)
     nx = (max(int(sb.max()) + NSLICES if sb.size else NSLICES,
@@ -357,13 +412,16 @@ def _build_plan_native(src, dst, n, values, m, nmid, t0):
     wvals = lay["wvals"]
     plan = EdgePlan(
         n=n, m=m, nslots=nslots, nmid=lay["nmid"], nsec=nsec, nx=nx,
-        widx=lay["widx"].reshape(-1, 128), sb=sb, ws=lay["ws"], border=border,
+        win=lay["win"],
+        widx=lay["widx"].reshape(-1, 128), sb=sb, ws=lay["ws"],
+        border=border,
         weights=None if wvals is None else wvals.reshape(-1, 128),
         wa=wa_f.reshape(nsec * SEC_R, 128),
         wb=wb_f.reshape(nsec * SEC_R, 128),
-        cidx=cidx_f.reshape(nsec * SEC_R, 128),
         sstart=sstart_f.reshape(nsec * SEC_R, 128),
-        meta=meta, sec_mid=sec_mid_arr,
+        wa2=wa2_f.reshape(nsec * SEC_R, 128),
+        wb2=wb2_f.reshape(nsec * SEC_R, 128),
+        sec_mid=sec_mid_arr,
     )
     logger.info(
         "EdgePlan (native): m=%d slots=%d (%.1f%% pad) mids=%d sections=%d "
@@ -375,27 +433,21 @@ def _build_plan_native(src, dst, n, values, m, nmid, t0):
 def _section_python(keys, colorer=None):
     """Pure-python routing of one section (fallback / pad sections).
 
-    Returns (wa, wb, cidx, sstart, ws2, nsub), shaped for the kernel.
+    Returns (wa, wb, sstart, wa2, wb2), shaped for the kernel.
     """
+    route_fn = _route.clos_route if colorer is None else colorer
     sort_order = np.argsort(keys, kind="stable")
     target = np.empty(SEC, np.int64)
     target[sort_order] = np.arange(SEC)
-    idx = (_route.clos_route(target, SEC_R) if colorer is None
-           else colorer(target, SEC_R))
+    idx = route_fn(target, SEC_R)
     pad = ((keys == -1) | (keys == MID)).reshape(SEC_R, 128)
     wa_s, wb_s = _route.pack_routing(idx, pad)
     s_key = keys[sort_order]
     ss_s = np.searchsorted(s_key, s_key, side="left")
-    e_d = (np.searchsorted(s_key, np.arange(MID), side="right") - 1)
-    assert e_d.min() >= 0
-    ws2 = np.zeros(64, np.int32)
-    nsub = np.zeros(64, np.int32)
-    ci = np.zeros(MID, np.uint16)
-    for t in range(64):
-        seg = e_d[t * 1024:(t + 1) * 1024]
-        base = (int(seg.min()) // 1024) * 1024
-        ws2[t] = base
-        nsub[t] = (int(seg.max()) - base) // 1024 + 1
-        ci[t * 1024:(t + 1) * 1024] = seg.astype(np.uint16)
-    return (wa_s, wb_s.reshape(SEC_R, 128), ci.reshape(SEC_R, 128),
-            ss_s.astype(np.uint16).reshape(SEC_R, 128), ws2, nsub)
+    target2, present = _route.ends_to_dst_perm(s_key, MID)
+    idx2 = route_fn(target2, SEC_R)
+    wa2_s, wb2_s = _route.pack_routing(
+        idx2, out_mask=present.reshape(SEC_R, 128))
+    return (wa_s, wb_s.reshape(SEC_R, 128),
+            ss_s.astype(np.uint16).reshape(SEC_R, 128),
+            wa2_s, wb2_s.reshape(SEC_R, 128))

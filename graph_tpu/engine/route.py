@@ -165,21 +165,54 @@ def clos_apply_reference(x: np.ndarray, idx) -> np.ndarray:
     return np.take_along_axis(z, e, axis=1)
 
 
-def pack_routing(idx, pad_mask: np.ndarray | None = None):
+def pack_routing(idx, pad_mask: np.ndarray | None = None,
+                 out_mask: np.ndarray | None = None):
     """Pack stages into two uint16 streams for the kernel.
 
-    wA (r,128):  A | E<<7 | pad<<15      (A read at input layout, E at
-                                          output layout, pad at input)
+    wA (r,128):  A | E<<7 | flag<<15     (A read at input layout, E at
+                                          output layout; the flag bit is
+                                          pad_mask at INPUT layout for
+                                          route 1, or out_mask at OUTPUT
+                                          layout for route 2 — the kernel
+                                          applies it at the matching end)
     wB (128,r1,128): B | C<<7 | D<<9     (requires r1 <= 4)
     """
     r1 = idx["B"].shape[1]
     assert r1 <= 4, "wB packing supports r1 <= 4 (section <= 64K edges)"
+    assert pad_mask is None or out_mask is None
     wa = idx["A"].astype(np.uint16) | (idx["E"].astype(np.uint16) << 7)
     if pad_mask is not None:
         wa |= pad_mask.astype(np.uint16) << 15
+    if out_mask is not None:
+        wa |= out_mask.astype(np.uint16) << 15
     wb = (
         idx["B"].astype(np.uint16)
         | (idx["C"].astype(np.uint16) << 7)
         | (idx["D"].astype(np.uint16) << 9)
     )
     return wa, wb
+
+
+def ends_to_dst_perm(s_key: np.ndarray, mid: int):
+    """Build route 2's permutation for one section.
+
+    s_key: (SEC,) sorted destination keys (-1 lead pad, ``mid`` tail
+    pads).  For every destination d present in the section, its segment
+    END position e_d must route to output position d (the map is
+    injective: ends are distinct).  All other positions fill the
+    remaining outputs in order (masked garbage).  Returns
+    (target2, present) with target2[p] = output position of sorted
+    position p and present: (mid,) bool.
+    """
+    n = s_key.size
+    cnt_le = np.searchsorted(s_key, np.arange(mid), side="right")
+    cnt_lt = np.searchsorted(s_key, np.arange(mid), side="left")
+    present = cnt_le > cnt_lt
+    e_d = cnt_le - 1  # >= 0: the lead pad guarantees a position before d=0
+    target2 = np.full(n, -1, np.int64)
+    dsts = np.nonzero(present)[0]
+    target2[e_d[present]] = dsts
+    used_out = np.zeros(n, bool)
+    used_out[dsts] = True
+    target2[target2 < 0] = np.nonzero(~used_out)[0]
+    return target2, present

@@ -61,7 +61,11 @@ class ShardedEdgeEngine:
         for d in range(ndev):
             lo, hi = bounds[d], bounds[d + 1]
             v = None if values is None else np.asarray(values)[lo:hi]
-            plans.append(build_plan(src[lo:hi], dst[lo:hi], n, values=v))
+            # all shards must share the K1 window (the kernel is
+            # compiled once); let the first shard's auto-pick decide
+            w = None if d == 0 else plans[0].win
+            plans.append(build_plan(src[lo:hi], dst[lo:hi], n, values=v,
+                                    win=w))
         nsec = max(p.nsec for p in plans)
         plans = [_pad_plan(p, nsec) for p in plans]
         engines = [EdgeEngine(p, interpret=interpret) for p in plans]
@@ -114,28 +118,24 @@ def _pad_plan(plan, nsec):
     if weights is not None:
         weights = np.vstack([weights,
                              np.zeros((add_slots // 128, 128), np.float32)])
-    # routing for an all-pad section: identity stages, all slots padded
+    # routing for an all-pad section: identity stages, all slots padded,
+    # no present destinations (route-2 outputs fully masked)
     pad_keys = np.full(SEC, MID, np.int32)
     pad_keys[0] = -1
     from graph_tpu.engine.plan import _section_python
 
-    wa_s, wb_s, ci_s, ss_s, ws2_s, nsub_s = _section_python(pad_keys)
+    wa_s, wb_s, ss_s, wa2_s, wb2_s = _section_python(pad_keys)
     wa = np.vstack([plan.wa] + [wa_s] * extra)
     wb = np.vstack([plan.wb] + [wb_s] * extra)
-    cidx = np.vstack([plan.cidx] + [ci_s] * extra)
     sstart = np.vstack([plan.sstart] + [ss_s] * extra)
-    meta_pad = np.zeros(129, np.int32)
-    meta_pad[0] = 1  # own (empty) mid-start: zero contribution either way
-    meta_pad[1:65] = ws2_s
-    meta_pad[65:129] = nsub_s
+    wa2 = np.vstack([plan.wa2] + [wa2_s] * extra)
+    wb2 = np.vstack([plan.wb2] + [wb2_s] * extra)
     # pad sections write a dedicated trash mid (one extra out block,
-    # dropped by the y[:n] slice); first=1 only on the first pad section
-    metas = np.tile(meta_pad, extra).reshape(extra, 129)
-    metas[0, 0] = 1
-    meta = np.concatenate([plan.meta, metas.reshape(-1)])
+    # dropped by the y[:n] slice); the kernel's first-flag comes from
+    # the sec_mid change
     sec_mid = np.concatenate([plan.sec_mid,
                               np.full(extra, plan.nmid, np.int32)])
     return dataclasses.replace(
         plan, nslots=nslots, nsec=nsec, nmid=plan.nmid + 1, widx=widx,
         ws=ws, sb=sb, border=border, weights=weights, wa=wa, wb=wb,
-        cidx=cidx, sstart=sstart, meta=meta, sec_mid=sec_mid)
+        sstart=sstart, wa2=wa2, wb2=wb2, sec_mid=sec_mid)

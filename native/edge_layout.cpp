@@ -23,11 +23,14 @@ namespace {
 constexpr int64_t TILE = 1024;
 constexpr int64_t TPB = 16;
 constexpr int64_t BLK = TILE * TPB;
-constexpr int64_t WIN = 8192;
 constexpr int64_t SLICE = 32768;
 constexpr int64_t NSLICES = 3;
-constexpr int64_t SPAN_BUDGET = WIN - 1024;
 constexpr int64_t BLOCK_SPAN = NSLICES * SLICE - 1;
+// Candidate K1 gather windows + cost model (must match plan.py:
+// cost = nslots * (WIN_COST_RATIO + win/128), ratio calibrated from
+// measured per-window-row scan cost vs fixed per-slot cost).
+constexpr int64_t WIN_CANDIDATES[3] = {2048, 4096, 8192};
+constexpr int64_t WIN_COST_RATIO = 48;
 constexpr int64_t SEC = 65536;
 constexpr int64_t MID = 65536;
 
@@ -43,7 +46,8 @@ struct Layout {
 // Greedy layout of one mid (edges sorted by src). Two modes: count-only
 // (out == nullptr) and fill.
 int64_t layout_mid(const int64_t* src, const int64_t* dstl, const float* val,
-                   int64_t m_i, int64_t slot0, Layout* out) {
+                   int64_t m_i, int64_t slot0, Layout* out, int64_t win) {
+    const int64_t span_budget = win - 1024;
     int64_t cur = 0;
     int64_t slot = slot0;
     int64_t block_first = -1;
@@ -85,7 +89,7 @@ int64_t layout_mid(const int64_t* src, const int64_t* dstl, const float* val,
             slot += TILE;
             continue;
         }
-        int64_t hi_span = first + SPAN_BUDGET;
+        int64_t hi_span = first + span_budget;
         int64_t hs2 = block_base + BLOCK_SPAN;
         if (hs2 < hi_span) hi_span = hs2;
         // hi = upper_bound(src, hi_span)
@@ -101,7 +105,7 @@ int64_t layout_mid(const int64_t* src, const int64_t* dstl, const float* val,
             int64_t base = block_base;
             int64_t first_local = first - base;
             int64_t ws_t = (first_local / 1024) * 1024;
-            int64_t wmax = NSLICES * SLICE - WIN;
+            int64_t wmax = NSLICES * SLICE - win;
             if (ws_t > wmax) ws_t = wmax;
             out->ws[t] = (int32_t)ws_t;
             for (int64_t i = 0; i < TILE; i++) {
@@ -130,6 +134,7 @@ extern "C" {
 struct GtLayout {
     int64_t nslots;
     int64_t nmid;
+    int64_t win;
     uint16_t* widx;
     int32_t* keys;
     float* wvals;
@@ -141,9 +146,11 @@ struct GtLayout {
 // src/dst: (m,) int64; values: (m,) float or nullptr; n: node count.
 // Sorts by (mid, src) internally (radix), lays out slots, returns a
 // malloc'd GtLayout (free with gt_layout_free).
+// win == 0 selects the window automatically (count slots per candidate,
+// pick the cost-model argmin).
 GtLayout* gt_build_layout(const int64_t* src, const int64_t* dst,
                           const float* values, int64_t m, int64_t n,
-                          int nthreads) {
+                          int64_t win, int nthreads) {
     int64_t nmid = (n + MID - 1) / MID;
     if (nmid < 1) nmid = 1;
 
@@ -182,23 +189,49 @@ GtLayout* gt_build_layout(const int64_t* src, const int64_t* dst,
     }
     for (int64_t k = 1; k <= nmid; k++) mid_start[k] += mid_start[k - 1];
 
-    // ---- pass 1: count slots per mid (parallel over mids)
+    // ---- pass 1: count slots per mid (parallel over mids); win == 0
+    // counts all candidates and picks the cost-model argmin.
     std::vector<int64_t> mid_slots(nmid);
     {
+        int ncand = win ? 1 : 3;
+        std::vector<std::vector<int64_t>> counts(
+            ncand, std::vector<int64_t>(nmid));
         std::atomic<int64_t> next{0};
         auto worker = [&]() {
             for (;;) {
                 int64_t mi = next.fetch_add(1);
                 if (mi >= nmid) return;
                 int64_t lo = mid_start[mi];
-                mid_slots[mi] = layout_mid(src_s.data() + lo,
-                                           dstl_s.data() + lo, nullptr,
-                                           mid_start[mi + 1] - lo, 0, nullptr);
+                for (int c = 0; c < ncand; c++) {
+                    int64_t w = win ? win : WIN_CANDIDATES[c];
+                    counts[c][mi] = layout_mid(src_s.data() + lo,
+                                               dstl_s.data() + lo, nullptr,
+                                               mid_start[mi + 1] - lo, 0,
+                                               nullptr, w);
+                }
             }
         };
         std::vector<std::thread> pool;
         for (int t = 0; t < nthreads; t++) pool.emplace_back(worker);
         for (auto& th : pool) th.join();
+        if (!win) {
+            int64_t best_cost = -1;
+            int best = 0;
+            for (int c = 0; c < ncand; c++) {
+                int64_t ns = 0;
+                for (int64_t mi = 0; mi < nmid; mi++) ns += counts[c][mi];
+                int64_t cost =
+                    ns * (WIN_COST_RATIO + WIN_CANDIDATES[c] / 128);
+                if (best_cost < 0 || cost < best_cost) {
+                    best_cost = cost;
+                    best = c;
+                }
+            }
+            win = WIN_CANDIDATES[best];
+            mid_slots = counts[best];
+        } else {
+            mid_slots = counts[0];
+        }
     }
     std::vector<int64_t> slot_off(nmid + 1, 0);
     for (int64_t k = 0; k < nmid; k++) slot_off[k + 1] = slot_off[k] + mid_slots[k];
@@ -207,6 +240,7 @@ GtLayout* gt_build_layout(const int64_t* src, const int64_t* dst,
     auto* L = (GtLayout*)std::calloc(1, sizeof(GtLayout));
     L->nslots = nslots;
     L->nmid = nmid;
+    L->win = win;
     L->widx = (uint16_t*)std::malloc(nslots * sizeof(uint16_t));
     L->keys = (int32_t*)std::malloc(nslots * sizeof(int32_t));
     L->wvals = values ? (float*)std::malloc(nslots * sizeof(float)) : nullptr;
@@ -232,7 +266,7 @@ GtLayout* gt_build_layout(const int64_t* src, const int64_t* dst,
                 view.sb = L->sb;
                 layout_mid(src_s.data() + lo, dstl_s.data() + lo,
                            values ? val_s.data() + lo : nullptr,
-                           mid_start[mi + 1] - lo, s0, &view);
+                           mid_start[mi + 1] - lo, s0, &view, win);
                 for (int64_t s = s0 / SEC; s < slot_off[mi + 1] / SEC; s++)
                     L->sec_mid[s] = (int32_t)mi;
             }

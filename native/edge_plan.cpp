@@ -3,10 +3,13 @@
 // Per 64K-slot section this computes what the reference resolves at
 // runtime with atomic CAS (crates/algos/src/dss.rs:148-150) and what
 // graph_tpu/engine/route.py computes in python: a stable sort of the
-// section by destination key, its Clos/Benes stage decomposition via
-// recursive Euler-split bipartite edge coloring, and the monotone
-// compaction metadata.  Layout must match graph_tpu/engine/plan.py
-// and kernels.py (SEC=65536, R=512, R1=4, MID=65536).
+// section by destination key, TWO Clos/Benes stage decompositions via
+// recursive Euler-split bipartite edge coloring (route 1: slot order ->
+// destination-sorted; route 2: segment-end positions -> destination
+// output positions, with a per-output present bit), and the segment
+// start positions for the in-kernel segmented scan.  Layout must match
+// graph_tpu/engine/plan.py and kernels.py (SEC=65536, R=512, R1=4,
+// MID=65536).
 //
 // Build: g++ -O3 -shared -fPIC -std=c++17 -pthread edge_plan.cpp
 
@@ -106,26 +109,14 @@ void edge_color(const int32_t* l, const int32_t* r, int n, int d,
     for (int i = n0; i < e; i++) colors[ids[i]] = colors[ids[i]] * 2 + 1;
 }
 
-// Route one section. keys: SEC int32 (-1 lead pad, MID tail pad).
-void build_one_section(const int32_t* keys, uint16_t* wa, uint16_t* wb,
-                       uint16_t* cidx, uint16_t* sstart, int32_t* ws2,
-                       int32_t* nsub, Scratch& s) {
-    // ---- stable counting sort by key (+1 -> [0, MID+2))
-    s.cnt.assign(MID + 3, 0);
-    for (int i = 0; i < SEC; i++) s.cnt[keys[i] + 2]++;
-    for (int k = 1; k < MID + 3; k++) s.cnt[k] += s.cnt[k - 1];
-    // cnt[k+1] is now inclusive prefix; build target (input -> sorted pos)
-    s.target.resize(SEC);
-    {
-        std::vector<int32_t> cursor(s.cnt.begin(), s.cnt.end() - 1);
-        for (int i = 0; i < SEC; i++) {
-            int32_t t = cursor[keys[i] + 1]++;
-            s.target[i] = t;
-            // first sorted position of this key = segment start
-            sstart[t] = (uint16_t)s.cnt[keys[i] + 1];
-        }
-    }
-
+// Clos/Benes-decompose one permutation (target[i] = output position of
+// input position i) and pack the stages into wa/wb.  flags (SEC uint16
+// of 0/1, may be null) sets bit 15 of wa at its own array position —
+// the kernel reads it at the input layout for route 1 (pad bit) and at
+// the output layout for route 2 (present bit), so the caller indexes
+// flags accordingly.
+void route_perm(const int32_t* target, const uint16_t* flags,
+                uint16_t* wa, uint16_t* wb, Scratch& s) {
     // ---- outer Clos: grid (R=512 rows, 128 cols)
     s.l_buf.resize(SEC);
     s.r_buf.resize(SEC);
@@ -133,31 +124,33 @@ void build_one_section(const int32_t* keys, uint16_t* wa, uint16_t* wb,
     s.color.assign(SEC, 0);
     for (int i = 0; i < SEC; i++) {
         s.l_buf[i] = i >> 7;
-        s.r_buf[i] = s.target[i] >> 7;
+        s.r_buf[i] = target[i] >> 7;
         s.ids0[i] = i;
     }
     std::vector<uint8_t> hb;
     edge_color(s.l_buf.data(), s.r_buf.data(), R, 128, s.ids0.data(), SEC,
                s.color.data(), s, hb);
 
-    // A at input layout, E at output layout, pad bit at input layout
+    // A at input layout, E at output layout
     std::vector<uint8_t> A(SEC), E(SEC);
     for (int i = 0; i < SEC; i++) {
         int r_in = i >> 7, c_in = i & 127, k = s.color[i];
-        int t = s.target[i];
+        int t = target[i];
         A[(size_t)r_in * 128 + k] = (uint8_t)c_in;
         E[(size_t)(t >> 7) * 128 + (t & 127)] = (uint8_t)k;
     }
-    for (int i = 0; i < SEC; i++) {
-        uint16_t pad = (keys[i] == -1 || keys[i] == MID) ? 1 : 0;
-        wa[i] = (uint16_t)A[i] | ((uint16_t)E[i] << 7) | (pad << 15);
+    for (int i = 0; i < SEC; i++)
+        wa[i] = (uint16_t)A[i] | ((uint16_t)E[i] << 7);
+    if (flags) {
+        for (int i = 0; i < SEC; i++)
+            wa[i] |= (uint16_t)(flags[i] ? 1 : 0) << 15;
     }
 
     // ---- inner routes, one per intermediate column
     // qinv_all[col][r_in] = r_out, one pass (each row has each color once)
     s.qinv.resize((size_t)128 * R);
     for (int i = 0; i < SEC; i++)
-        s.qinv[(size_t)s.color[i] * R + (i >> 7)] = s.target[i] >> 7;
+        s.qinv[(size_t)s.color[i] * R + (i >> 7)] = target[i] >> 7;
     s.color2.assign(R, 0);
     s.l2.resize(R);
     s.r2.resize(R);
@@ -184,32 +177,63 @@ void build_one_section(const int32_t* keys, uint16_t* wa, uint16_t* wb,
     }
     for (int i = 0; i < SEC; i++)
         wb[i] = (uint16_t)B[i] | ((uint16_t)C[i] << 7) | ((uint16_t)D[i] << 9);
+}
 
-    // ---- compaction metadata: e_d = last sorted pos with key <= d
-    // cnt currently holds inclusive prefix over shifted keys:
-    // count(keys <= d) = cnt[d + 2]; e_d = cnt[d + 2] - 1 (>= 0: lead pad).
-    for (int t = 0; t < 64; t++) {
-        int32_t mn = INT32_MAX, mx = 0;
-        for (int d0 = t * 1024; d0 < (t + 1) * 1024; d0++) {
-            int32_t e_d = s.cnt[d0 + 2] - 1;
-            cidx[d0] = (uint16_t)e_d;
-            if (e_d < mn) mn = e_d;
-            if (e_d > mx) mx = e_d;
+// Route one section. keys: SEC int32 (-1 lead pad, MID tail pad).
+void build_one_section(const int32_t* keys, uint16_t* wa, uint16_t* wb,
+                       uint16_t* sstart, uint16_t* wa2, uint16_t* wb2,
+                       Scratch& s) {
+    // ---- stable counting sort by key (+1 -> [0, MID+2))
+    s.cnt.assign(MID + 3, 0);
+    for (int i = 0; i < SEC; i++) s.cnt[keys[i] + 2]++;
+    for (int k = 1; k < MID + 3; k++) s.cnt[k] += s.cnt[k - 1];
+    // cnt[k+1] is now inclusive prefix; build target (input -> sorted pos)
+    s.target.resize(SEC);
+    {
+        std::vector<int32_t> cursor(s.cnt.begin(), s.cnt.end() - 1);
+        for (int i = 0; i < SEC; i++) {
+            int32_t t = cursor[keys[i] + 1]++;
+            s.target[i] = t;
+            // first sorted position of this key = segment start
+            sstart[t] = (uint16_t)s.cnt[keys[i] + 1];
         }
-        ws2[t] = (mn / 1024) * 1024;
-        nsub[t] = (mx - ws2[t]) / 1024 + 1;
     }
+
+    // ---- route 1: slot order -> destination-sorted; pad bit at input
+    std::vector<uint16_t> flags(SEC);
+    for (int i = 0; i < SEC; i++)
+        flags[i] = (keys[i] == -1 || keys[i] == MID) ? 1 : 0;
+    route_perm(s.target.data(), flags.data(), wa, wb, s);
+
+    // ---- route 2: segment-end position e_d -> output position d for
+    // every present destination (injective: ends are distinct); other
+    // positions fill the remaining outputs in order (masked garbage).
+    // count(keys <= d) = cnt[d + 2]; e_d = cnt[d + 2] - 1 (>= 0: lead pad).
+    std::vector<int32_t> target2(SEC, -1);
+    for (int d = 0; d < MID; d++) {
+        flags[d] = (s.cnt[d + 2] > s.cnt[d + 1]) ? 1 : 0;  // present
+        if (flags[d]) target2[s.cnt[d + 2] - 1] = d;
+    }
+    {
+        int out = 0;
+        for (int p = 0; p < SEC; p++) {
+            if (target2[p] >= 0) continue;
+            while (flags[out]) out++;  // skip outputs taken by real dsts
+            target2[p] = out++;
+        }
+    }
+    route_perm(target2.data(), flags.data(), wa2, wb2, s);
 }
 
 }  // namespace
 
 extern "C" {
 
-// keys: (nsec, 65536) int32; wa/wb/cidx: (nsec, 65536) uint16;
-// ws2/nsub: (nsec, 64) int32. Returns 0 on success.
+// keys: (nsec, 65536) int32; wa/wb/sstart/wa2/wb2: (nsec, 65536) uint16.
+// Returns 0 on success.
 int gt_build_sections(const int32_t* keys, int64_t nsec, uint16_t* wa,
-                      uint16_t* wb, uint16_t* cidx, uint16_t* sstart,
-                      int32_t* ws2, int32_t* nsub, int nthreads) {
+                      uint16_t* wb, uint16_t* sstart, uint16_t* wa2,
+                      uint16_t* wb2, int nthreads) {
     if (nthreads < 1) nthreads = 1;
     std::vector<std::thread> pool;
     std::atomic<int64_t> next{0};
@@ -219,8 +243,8 @@ int gt_build_sections(const int32_t* keys, int64_t nsec, uint16_t* wa,
             int64_t i = next.fetch_add(1);
             if (i >= nsec) return;
             build_one_section(keys + i * SEC, wa + i * SEC, wb + i * SEC,
-                              cidx + i * SEC, sstart + i * SEC,
-                              ws2 + i * 64, nsub + i * 64, s);
+                              sstart + i * SEC, wa2 + i * SEC,
+                              wb2 + i * SEC, s);
         }
     };
     for (int t = 0; t < nthreads; t++) pool.emplace_back(worker);

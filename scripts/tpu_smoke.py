@@ -1,0 +1,92 @@
+"""TPU smoke test: Mosaic lowering + bit-level correctness of the
+engine kernels on device (VERDICT weak #9 — committed TPU smoke script).
+
+Usage: python scripts/tpu_smoke.py [scale]
+
+Asserts, on the real TPU:
+* spmv == fixed-point ground truth computed on host (exact),
+* smin  == ground truth (bit-exact),
+* relax == ground truth (bit-exact),
+and prints per-kernel times (floor-proofed via in-jit fori_loop chains).
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from bench import host_rmat  # noqa: E402
+from graph_tpu.engine.engine import EdgeEngine  # noqa: E402
+
+
+def main(scale=19):
+    n = 1 << scale
+    src, dst = host_rmat(scale)
+    m = src.size
+    t0 = time.perf_counter()
+    eng = EdgeEngine.build(src, dst, n)
+    print(f"scale {scale}: m={m} nslots={eng.plan.nslots} "
+          f"(pad {100*(eng.plan.nslots-m)/eng.plan.nslots:.1f}%) "
+          f"build {time.perf_counter()-t0:.1f}s")
+
+    rng = np.random.default_rng(1)
+    x = (rng.random(n) * 1e-5).astype(np.float32)
+
+    # ---- spmv correctness (exact in fixed point)
+    y = np.asarray(jax.jit(eng.spmv_dev)(eng.dev, jnp.asarray(x)))
+    # model the kernel bit-for-bit: f32 quantize, int32 wraparound sum,
+    # int32 -> f32 (rounds above 2**24 quanta), exact /2**30
+    q = np.round((x[src] * np.float32(1 << 30)).astype(np.float32))
+    acc = np.zeros(n, np.int64)
+    np.add.at(acc, dst, q.astype(np.int64))
+    y_exp = acc.astype(np.int32).astype(np.float32) / np.float32(1 << 30)
+    assert np.array_equal(y, y_exp), (
+        f"spmv mismatch: {np.abs(y - y_exp).max()}")
+    print("spmv exact ok (bit-for-bit vs quanta model)")
+
+    # ---- smin correctness (bit-exact)
+    labels = rng.integers(0, n, n).astype(np.float32)
+    ym = np.asarray(jax.jit(eng.smin_dev)(eng.dev, jnp.asarray(labels)))
+    ym_exp = np.full(n, 3.0e38, np.float32)
+    np.minimum.at(ym_exp, dst, labels[src])
+    assert np.array_equal(ym, ym_exp), "smin mismatch"
+    print("smin exact ok")
+
+    # ---- relax correctness (bit-exact)
+    w = (rng.random(m) * 3).astype(np.float32)
+    engw = EdgeEngine.build(src, dst, n, values=w)
+    dist = (rng.random(n) * 50).astype(np.float32)
+    yr = np.asarray(jax.jit(engw.relax_dev)(engw.dev, jnp.asarray(dist)))
+    yr_exp = np.full(n, 3.0e38, np.float32)
+    np.minimum.at(yr_exp, dst, (dist[src] + w).astype(np.float32))
+    assert np.array_equal(yr, yr_exp), "relax mismatch"
+    print("relax exact ok")
+
+    # ---- timing: chained spmv iterations in one dispatch
+    reps = max(1, int(3e9 / (m * 8)))  # aim for >= 300 ms total
+
+    @jax.jit
+    def spmv_loop(dev, x):
+        def body(i, x):
+            return eng.spmv_dev(dev, x) * jnp.float32(1e-6)
+        return jax.lax.fori_loop(0, reps, body, x)
+
+    r = spmv_loop(eng.dev, jnp.asarray(x))
+    np.asarray(r[0:1])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r = spmv_loop(eng.dev, jnp.asarray(x))
+        np.asarray(r[0:1])
+        best = min(best, time.perf_counter() - t0)
+    per_edge = best / reps / m * 1e9
+    print(f"spmv x{reps}: {best*1e3:.1f} ms -> {per_edge:.4f} ns/edge "
+          f"({1/per_edge:.1f} GTEPS)")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 19)

@@ -252,7 +252,7 @@ def test_plan_save_load_roundtrip(tmp_path):
     for f in ("n", "m", "nslots", "nmid", "nsec", "nx"):
         assert getattr(plan, f) == getattr(p2, f)
     for f in ("widx", "sb", "ws", "border", "weights", "wa", "wb",
-              "cidx", "sstart", "meta", "sec_mid"):
+              "sstart", "wa2", "wb2", "sec_mid"):
         assert np.array_equal(getattr(plan, f), getattr(p2, f)), f
 
 
