@@ -36,6 +36,13 @@ def _common(parser):
         help="graph storage (adjacency-list = mutable edge buffer)",
     )
     parser.add_argument("--use-32-bit", action="store_true")
+    parser.add_argument(
+        "--plan-cache",
+        default=None,
+        metavar="DIR",
+        help="persist compiled EdgePlans here (also $GRAPH_TPU_PLAN_CACHE); "
+        "a second run on the same graph skips the plan build",
+    )
     parser.add_argument("-r", "--runs", type=int, default=1)
     parser.add_argument("-w", "--warmup-runs", type=int, default=5)
     parser.add_argument("-v", "--verbose", action="count", default=1)
@@ -161,6 +168,10 @@ def _load(args, undirected=False, weighted=False):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if getattr(args, "plan_cache", None):
+        import os
+
+        os.environ["GRAPH_TPU_PLAN_CACHE"] = args.plan_cache
     if args.platform != "default":
         import jax
 

@@ -26,9 +26,14 @@ class EdgeEngine:
 
     @classmethod
     def build(cls, src, dst, n, values=None, colorer=None,
-              interpret: bool = False):
-        return cls(build_plan(np.asarray(src), np.asarray(dst), n,
-                              values=values, colorer=colorer),
+              interpret: bool = False, cache_dir=None):
+        """Build (or load from the plan cache — ``cache_dir`` or
+        $GRAPH_TPU_PLAN_CACHE) the engine for an edge list."""
+        from graph_tpu.engine.plan import load_or_build_plan
+
+        return cls(load_or_build_plan(np.asarray(src), np.asarray(dst), n,
+                                      values=values, colorer=colorer,
+                                      cache_dir=cache_dir),
                    interpret=interpret)
 
     def spmv(self, x: jax.Array, bound: float = 1.0) -> jax.Array:

