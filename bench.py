@@ -12,6 +12,14 @@ amortized index/score writes) through HBM.
 
 Engine: the EdgeEngine (graph_tpu.engine) — plan-compiled Pallas
 kernels; set BENCH_ENGINE=cumsum for the plain-XLA path.
+
+``BENCH_ALL=1`` runs the full per-algorithm suite instead (reference
+bar: criterion benches + the app warmup/measure loop,
+crates/builder/benches/, crates/app/src/app.rs:124-153): one JSON line
+per algorithm (PageRank / WCC / SSSP / triangle count) with per-phase
+timings (prep / plan or graph build / run), making the README numbers
+reproducible with one command.  Scales: BENCH_SCALE (PR/WCC, default
+22), BENCH_SSSP_SCALE (19), BENCH_TC_SCALE (18).
 """
 
 import json
@@ -70,9 +78,168 @@ def host_rmat(scale, edge_factor=16, seed=42):
     return perm[src], perm[dst]
 
 
+def _timed(fn, *args, reps=3):
+    import numpy as np
+
+    r = fn(*args)
+    r.block_until_ready() if hasattr(r, "block_until_ready") else r
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        r = fn(*args)
+        np.asarray(r.reshape(-1)[0:1]) if hasattr(r, "reshape") else r
+        best = min(best, time.perf_counter() - t0)
+    return best, r
+
+
+def bench_all():
+    """Per-algorithm suite; one JSON line each (see module doc)."""
+    import jax
+    import jax.numpy as jnp
+
+    from graph_tpu.engine.engine import EdgeEngine
+
+    lines = []
+
+    # ---- PageRank + WCC share the scale-SCALE RMAT graph
+    n = 1 << SCALE
+    t0 = time.perf_counter()
+    src, dst = host_rmat(SCALE)
+    prep_s = time.perf_counter() - t0
+    m = src.size
+
+    t0 = time.perf_counter()
+    eng = EdgeEngine.build(src, dst, n)
+    pr_build_s = time.perf_counter() - t0
+    outdeg = np.bincount(src, minlength=n).astype(np.float32)
+    inv_outdeg = jnp.asarray(
+        np.where(outdeg > 0, 1.0 / np.maximum(outdeg, 1.0), 0.0))
+    damping = jnp.float32(0.85)
+
+    @jax.jit
+    def pr_run(inv_outdeg, dev):
+        nf = jnp.float32(n)
+        base = (1.0 - damping) / nf
+        scores0 = jnp.full((n,), 1.0 / nf, jnp.float32)
+
+        def body(it, state):
+            scores, out_scores = state
+            y = eng.spmv_dev(dev, out_scores)
+            s = base + damping * y
+            return s, s * inv_outdeg
+
+        return jax.lax.fori_loop(0, ITERS, body,
+                                 (scores0, scores0 * inv_outdeg))[0]
+
+    pr_s, _ = _timed(pr_run, inv_outdeg, eng.dev)
+    lines.append({
+        "metric": f"pagerank_rmat_scale{SCALE}", "value":
+        round(m * ITERS / pr_s / 1e9, 4), "unit": "GTEPS",
+        "phases": {"prep_s": round(prep_s, 2),
+                   "plan_build_s": round(pr_build_s, 2),
+                   "run_s": round(pr_s, 4), "iterations": ITERS}})
+
+    # ---- WCC (min-label over the symmetrized edges)
+    t0 = time.perf_counter()
+    sym = EdgeEngine.build(np.concatenate([src, dst]),
+                           np.concatenate([dst, src]), n)
+    wcc_build_s = time.perf_counter() - t0
+
+    @jax.jit
+    def wcc_run(dev):
+        comp0 = jnp.arange(n, dtype=jnp.float32)
+
+        def cond(state):
+            return state[1]
+
+        def body(state):
+            comp, _ = state
+            new = jnp.minimum(comp, sym.smin_dev(dev, comp))
+            new = new[new.astype(jnp.int32)]
+            new = new[new.astype(jnp.int32)]
+            return new, jnp.any(new != comp)
+
+        return jax.lax.while_loop(cond, body, (comp0, jnp.bool_(True)))[0]
+
+    wcc_s, _ = _timed(wcc_run, sym.dev)
+    lines.append({
+        "metric": f"wcc_rmat_scale{SCALE}", "value": round(wcc_s, 4),
+        "unit": "s",
+        "phases": {"plan_build_s": round(wcc_build_s, 2),
+                   "run_s": round(wcc_s, 4)}})
+    del sym
+
+    # ---- SSSP (delta-stepping-equivalent relax iteration, weighted)
+    sssp_scale = int(os.environ.get("BENCH_SSSP_SCALE", "19"))
+    ns = 1 << sssp_scale
+    s_src, s_dst = host_rmat(sssp_scale, seed=7)
+    w = np.random.default_rng(3).random(s_src.size).astype(np.float32) * 4
+    t0 = time.perf_counter()
+    weng = EdgeEngine.build(s_src, s_dst, ns, values=w)
+    sssp_build_s = time.perf_counter() - t0
+
+    @jax.jit
+    def sssp_run(dev):
+        from graph_tpu.engine.kernels import INF
+
+        dist0 = jnp.full((ns,), INF, jnp.float32).at[0].set(0.0)
+
+        def cond(state):
+            return state[1]
+
+        def body(state):
+            dist, _ = state
+            new = jnp.minimum(dist, weng.relax_dev(dev, dist))
+            return new, jnp.any(new < dist)
+
+        return jax.lax.while_loop(cond, body, (dist0, jnp.bool_(True)))[0]
+
+    sssp_s, _ = _timed(sssp_run, weng.dev)
+    lines.append({
+        "metric": f"sssp_rmat_scale{sssp_scale}", "value": round(sssp_s, 4),
+        "unit": "s",
+        "phases": {"plan_build_s": round(sssp_build_s, 2),
+                   "run_s": round(sssp_s, 4)}})
+    del weng
+
+    # ---- triangle count (distinct, DEDUPLICATED) via device sort-join
+    tc_scale = int(os.environ.get("BENCH_TC_SCALE", "18"))
+    from graph_tpu.algos.triangle_count import global_triangle_count
+    from graph_tpu.graph.build import build_undirected
+    from graph_tpu.graph.csr import CsrLayout
+
+    t_src, t_dst = host_rmat(tc_scale)
+    t0 = time.perf_counter()
+    g = build_undirected(jnp.asarray(t_src), jnp.asarray(t_dst),
+                         node_count=1 << tc_scale,
+                         layout=CsrLayout.DEDUPLICATED)
+    tc_build_s = time.perf_counter() - t0
+    r = global_triangle_count(g)  # warm (compiles)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        r = global_triangle_count(g)
+        best = min(best, time.perf_counter() - t0)
+    lines.append({
+        "metric": f"triangle_count_rmat_scale{tc_scale}",
+        "value": round(best, 4), "unit": "s",
+        "phases": {"graph_build_s": round(tc_build_s, 2),
+                   "run_s": round(best, 4), "triangles": r.triangles}})
+
+    for line in lines:
+        print(json.dumps(line))
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    from graph_tpu import enable_compile_cache
+
+    enable_compile_cache()
+
+    if os.environ.get("BENCH_ALL"):
+        return bench_all()
 
     n = 1 << SCALE
     src, dst = host_rmat(SCALE)

@@ -80,3 +80,25 @@ __all__ = [
 # EdgeEngine: plan-compiled vectorized edge traversal (see PERF_NOTES.md)
 from graph_tpu.engine.engine import EdgeEngine
 from graph_tpu.engine.plan import EdgePlan, build_plan
+
+
+def enable_compile_cache(path: str | None = None) -> str:
+    """Point JAX's persistent compilation cache at ``path`` (default
+    ~/.cache/graph_tpu/jax).  Remote TPU compiles cost 20-60 s per
+    program shape here; the cache amortizes them across processes.
+    Called by the CLI / bench / server entry points; library users can
+    call it (or configure JAX themselves).  No-op if already set.
+    """
+    import os
+
+    import jax
+
+    if jax.config.jax_compilation_cache_dir:
+        return jax.config.jax_compilation_cache_dir
+    path = path or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/graph_tpu/jax"))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return path

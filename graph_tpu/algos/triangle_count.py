@@ -1,31 +1,33 @@
-"""Global triangle count via column-blocked bitmap intersections.
+"""Global triangle count via device sort-join (round 2 redesign).
 
 Reference analog: ``global_triangle_count``
 (crates/algos/src/triangle_count.rs:22-86): node-iterator with forward
 direction (``v > u`` break) and sorted-list merge intersection via a
 put-back iterator, 64-node chunk claiming.  Requires a DEDUPLICATED
-undirected graph; counts each triangle ``w < v < u`` exactly once.
+undirected graph; counts each distinct triangle exactly once.
 
-TPU-first redesign — variable-length sorted-list merges are hostile to
-vector units, so the intersection becomes bitset algebra:
+TPU-first redesign — variable-length merges and per-wedge membership
+gathers are hostile to the vector unit (XLA's random gather is ~15
+ns/element), so the whole count becomes three regular bulk primitives:
 
-* keep only *forward* edges ``(u, v), v < u`` (the reference's ``v > u``
-  break, triangle_count.rs:49-51),
-* for a block of 4096 target columns, build a bitmap ``B`` where row
-  ``u`` holds the forward neighbors of ``u`` inside the block (one
-  scatter; out-of-block bits dropped),
-* every forward edge contributes ``popcount(B[u] & B[v])`` — all common
-  forward neighbors ``w`` are ``< v < u`` by construction, so the count
-  is exact with no ordering checks,
-* edges are processed sorted by ``v`` so blocks whose columns all exceed
-  ``v`` are skipped (``B[v]`` would be empty) — with a degree-descending
-  relabel (hubs get small ids) most edges touch only the first blocks,
-  the same access-locality win the reference gets from
-  ``make_degree_ordered`` (graph_ops.rs:135-174).
+1. **Orient**: rank nodes by ascending degree; keep edges low->high
+   rank.  Forward degree is then bounded by ~sqrt(m) (arboricity), so
+   the wedge count W = sum C(d+, 2) stays ~50x m on power-law graphs
+   (204M at Graph500 scale 18) instead of exploding at hubs.
+2. **Emit wedges with zero gathers**: forward-adjacency lists are packed
+   host-side into per-degree-class chunk matrices (rows padded to caps
+   4/8/16/32/64; longer lists split into 64-wide chunks).  All ordered
+   pairs within a row are emitted on device as static SLICES
+   (``chunk[:, :-s]`` x ``chunk[:, s:]`` over shifts s) and cross-chunk
+   pairs as broadcast outer products — no gather instruction anywhere.
+3. **Join by sort**: wedge keys and (tagged) edge keys are sorted
+   together (``lax.sort`` runs at ~200M elem/s on v5e) and matches are
+   counted with one segmented associative scan — a wedge (v, w)
+   contributes the number of edges (v, w) in its run.
 
-Exactness: counts are integers ≤ 2^31 per 512k-edge chunk by
-construction; chunk sums are accumulated into a device int32 matrix and
-reduced on host in int64 — no floating point anywhere.
+Work is processed in fixed-size slabs (static shapes, one compile),
+partial counts accumulated in host int.  The same machinery runs the
+SORTED multiset semantics (below) via cross products G(v) x F(v).
 
 Layout semantics (matches the reference exactly):
 
@@ -33,12 +35,12 @@ Layout semantics (matches the reference exactly):
   benchmark path, app/src/triangle_count.rs:8-72).
 * SORTED — the reference's merge loop over lists *with duplicates and
   self-loops* counts wedge occurrences: for every occurrence pair
-  ``v ∈ N(u), v ≤ u`` and ``w ∈ N(v), w ≤ v``, add 1 if ``w ∈ N(u)``
-  (set membership — the put-back iterator parks at the first match).
-  The mate golden (scale-8 → 227,874,
-  crates/mate/tests/triangle_count_test.py:5-9) is this multiset count
-  on the degree-relabeled graph.  Implemented as host wedge expansion +
-  device blocked bitmap membership tests.
+  ``v in N(u), v <= u`` and ``w in N(v), w <= v``, add 1 if
+  ``w in N(u)`` (set membership — the put-back iterator parks at the
+  first match).  The mate golden (scale-8 -> 227,874,
+  crates/mate/tests/triangle_count_test.py:5-9) is this multiset count.
+  Implemented as G(v) x F(v) occurrence cross products joined against
+  the deduplicated membership keys.
 * UNSORTED — rejected (the reference's merge intersection silently
   requires sorted lists).
 """
@@ -55,10 +57,12 @@ import numpy as np
 
 from graph_tpu.graph.csr import CsrLayout, UndirectedCsrGraph
 
-# Columns per bitmap block (bits); 4096 bits = 128 u32 words = 512 B/row.
-BLOCK_BITS = 4096
-# Edges per count chunk; BLOCK_BITS * CHUNK <= 2^30 keeps int32 sums exact.
-CHUNK_EDGES = 1 << 18
+#: Degree-class caps; lists longer than the last cap split into chunks.
+CLASS_CAPS = (4, 8, 16, 32, 64)
+#: Sentinel id (sorts after any real id; never matches an edge key).
+SENT = 1 << 29
+#: Wedge slots per join slab (static sort shape; larger slabs OOM the remote XLA compiler).
+SLAB = 1 << 25
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,46 +74,221 @@ class TriangleCountResult:
     micros: int
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def _build_block_bitmap(u: jax.Array, v: jax.Array, block_start: jax.Array, n: int):
-    """Scatter forward edges with ``v`` in the block into an (n, W) bitmap."""
-    words = BLOCK_BITS // 32
-    local = v - block_start
-    in_block = (local >= 0) & (local < BLOCK_BITS)
-    row = jnp.where(in_block, u, n)  # n = out of bounds -> dropped
-    word = jnp.where(in_block, local // 32, 0)
-    bit = (jnp.uint32(1) << (local % 32).astype(jnp.uint32)).astype(jnp.uint32)
-    bitmap = jnp.zeros((n, words), dtype=jnp.uint32)
-    return bitmap.at[row, word].add(jnp.where(in_block, bit, 0), mode="drop")
+# ---------------------------------------------------------------------------
+# device pieces
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _emit_intra(chunk: jax.Array, cap: int):
+    """All ordered pairs (i < j) within each row, via static slices."""
+    vs = [chunk[:, : cap - s].reshape(-1) for s in range(1, cap)]
+    ws = [chunk[:, s:].reshape(-1) for s in range(1, cap)]
+    return jnp.concatenate(vs), jnp.concatenate(ws)
 
 
 @jax.jit
-def _count_chunk(bitmap: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
-    """Sum of popcount(B[u] & B[v]) over an edge chunk (int32-exact)."""
-    bu = bitmap[u]
-    bv = bitmap[v]
-    pc = jax.lax.population_count(bu & bv).astype(jnp.int32)
-    return jnp.sum(pc)
+def _emit_cross(rows_a: jax.Array, rows_b: jax.Array):
+    """Full outer products rows_a[i] x rows_b[i], via broadcasting."""
+    r, c = rows_a.shape
+    v = jnp.broadcast_to(rows_a[:, :, None], (r, c, rows_b.shape[1]))
+    w = jnp.broadcast_to(rows_b[:, None, :], (r, c, rows_b.shape[1]))
+    return v.reshape(-1), w.reshape(-1)
 
 
 @jax.jit
-def _membership_chunk(
-    bitmap: jax.Array, u: jax.Array, w: jax.Array, block_start: jax.Array
-) -> jax.Array:
-    """Count wedges whose bit ``w`` is set in row ``u`` of the block bitmap."""
-    local = w - block_start
-    valid = (local >= 0) & (local < BLOCK_BITS)
-    lw = jnp.where(valid, local, 0)
-    words = bitmap[u, lw // 32]
-    bit = (words >> (lw % 32).astype(jnp.uint32)) & jnp.uint32(1)
-    return jnp.sum(jnp.where(valid, bit, 0).astype(jnp.int32))
+def _join_count(v: jax.Array, w: jax.Array, ev: jax.Array, ew: jax.Array):
+    """Count wedges (v, w) that match an edge (ev, ew).
+
+    Tag bit in the minor key makes edges sort before same-key wedges;
+    a segmented scan carries the per-run edge count (int32-exact: runs
+    and slabs are < 2^31 elements).
+    """
+    vv = jnp.concatenate([v, ev])
+    ww = jnp.concatenate([w * 2 + 1, ew * 2])
+    sv, swt = jax.lax.sort((vv, ww), num_keys=2)
+    sw = swt >> 1
+    is_edge = (swt & 1) == 0
+
+    # segmented (key-equality) inclusive sum scan, Hillis-Steele style:
+    # combining at distance sh is valid iff the key sh back is equal
+    # (keys are grouped after the sort).  A hand-rolled shift-pad loop —
+    # lax.associative_scan on non-power-of-two lengths builds a ragged
+    # recursion the remote XLA compiler chokes on.
+    cnt = jnp.where(is_edge, 1, 0).astype(jnp.int32)
+    total = sv.shape[0]
+    sh = 1
+    while sh < total:
+        pv = jnp.concatenate([jnp.full(sh, -1, sv.dtype), sv[:-sh]])
+        pw = jnp.concatenate([jnp.full(sh, -1, sw.dtype), sw[:-sh]])
+        pc = jnp.concatenate([jnp.zeros(sh, jnp.int32), cnt[:-sh]])
+        cnt = cnt + jnp.where((pv == sv) & (pw == sw), pc, 0)
+        sh *= 2
+    return jnp.sum(jnp.where(is_edge, 0, cnt))
+
+
+# ---------------------------------------------------------------------------
+# host-side packing
+
+
+def _pack_chunks(heads: np.ndarray, items: np.ndarray):
+    """Pack ragged lists (grouped by ``heads``, already sorted) into
+    per-degree-class chunk matrices.
+
+    Returns {cap: (rows, cap) int32 matrix} plus, for lists longer than
+    the top cap, the (pairs_a, pairs_b) chunk-row matrices whose outer
+    products cover cross-chunk pairs.
+    """
+    top = CLASS_CAPS[-1]
+    n = heads.max() + 1 if heads.size else 0
+    deg = np.bincount(heads, minlength=n).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(deg)])
+    pos = np.arange(items.size, dtype=np.int64) - starts[heads]
+
+    mats = {}
+    prev = 1  # lists of length < 2 have no pairs
+    for cap in CLASS_CAPS[:-1]:
+        sel = (deg > prev) & (deg <= cap)
+        prev = cap
+        nodes = np.nonzero(sel)[0]
+        if nodes.size == 0:
+            continue
+        row_of = np.full(n, -1, np.int64)
+        row_of[nodes] = np.arange(nodes.size)
+        mask = sel[heads]
+        mat = np.full((nodes.size, cap), SENT, np.int32)
+        mat[row_of[heads[mask]], pos[mask]] = items[mask]
+        mats[cap] = mat
+
+    # top class: chunk rows of width `top`, one node spans several rows
+    sel = deg > CLASS_CAPS[-2]
+    nodes = np.nonzero(sel)[0]
+    cross = None
+    if nodes.size:
+        nchunks = -(-deg[nodes] // top)
+        row_start = np.concatenate([[0], np.cumsum(nchunks)])
+        row_of = np.full(n, -1, np.int64)
+        row_of[nodes] = row_start[:-1]
+        mask = sel[heads]
+        rows = int(row_start[-1])
+        mat = np.full((rows, top), SENT, np.int32)
+        p = pos[mask]
+        mat[row_of[heads[mask]] + p // top, p % top] = items[mask]
+        mats[top] = mat
+        # cross-chunk row pairs (a < b) per node
+        pa, pb = [], []
+        for i, nc in enumerate(nchunks):
+            if nc > 1:
+                r0 = row_start[i]
+                ia, ib = np.triu_indices(int(nc), k=1)
+                pa.append(r0 + ia)
+                pb.append(r0 + ib)
+        if pa:
+            pa = np.concatenate(pa)
+            pb = np.concatenate(pb)
+            cross = (mat[pa], mat[pb])
+    return mats, cross
+
+
+def _slot_count(mats, cross):
+    total = sum(m.shape[0] * (cap * (cap - 1) // 2)
+                for cap, m in mats.items())
+    if cross is not None:
+        total += cross[0].shape[0] * cross[0].shape[1] * cross[1].shape[1]
+    return total
+
+
+def _run_join(mats, cross, ev, ew, cross_full=None):
+    """Emit wedges slab by slab and join against the edge keys.
+
+    ``cross_full`` (multiset path) are (A, B) matrices whose outer
+    products are the wedges G(v) x F(v); ``mats``/``cross`` cover the
+    intra-list pair semantics (distinct path).
+    """
+    # pad edges to a power of two with a sentinel DISTINCT from the
+    # wedge pad (so pad wedges never match pad edges) — keeps the join
+    # program's shapes reusable across graphs via the compile cache
+    me = 1 << max(int(ev.size) - 1, 0).bit_length()
+    ev = np.pad(ev.astype(np.int64), (0, me - ev.size),
+                constant_values=SENT + 1)
+    ew = np.pad(ew.astype(np.int64), (0, me - ew.size),
+                constant_values=SENT + 1)
+    ev_dev = jnp.asarray(ev.astype(np.int32))
+    ew_dev = jnp.asarray(ew.astype(np.int32))
+    total = 0
+    pend_v, pend_w, pend = [], [], 0
+
+    def flush(force=False):
+        nonlocal total, pend_v, pend_w, pend
+        while pend >= SLAB or (force and pend > 0):
+            # full slabs use the fixed SLAB shape (one compile); the
+            # final partial slab pads to the next power of two so tiny
+            # graphs don't sort 2^27 sentinels
+            tgt = SLAB if pend >= SLAB else 1 << max(pend - 1, 0).bit_length()
+            take_v, take_w, acc = [], [], 0
+            rest_v, rest_w = [], []
+            for v, w in zip(pend_v, pend_w):
+                if acc >= tgt:
+                    rest_v.append(v)
+                    rest_w.append(w)
+                elif acc + v.shape[0] <= tgt:
+                    take_v.append(v)
+                    take_w.append(w)
+                    acc += v.shape[0]
+                else:
+                    k = tgt - acc
+                    take_v.append(v[:k])
+                    take_w.append(w[:k])
+                    rest_v.append(v[k:])
+                    rest_w.append(w[k:])
+                    acc = tgt
+            pad = tgt - acc
+            if pad:
+                take_v.append(jnp.full(pad, SENT, jnp.int32))
+                take_w.append(jnp.full(pad, SENT, jnp.int32))
+            v = jnp.concatenate(take_v)
+            w = jnp.concatenate(take_w)
+            total += int(_join_count(v, w, ev_dev, ew_dev))
+            pend_v, pend_w = rest_v, rest_w
+            pend = sum(x.shape[0] for x in pend_v)
+
+    def push(v, w):
+        nonlocal pend
+        pend_v.append(v)
+        pend_w.append(w)
+        pend += v.shape[0]
+        flush()
+
+    for cap, mat in (mats or {}).items():
+        # slab-sized row groups keep emission outputs bounded
+        pairs = cap * (cap - 1) // 2
+        rows_per = max(1, SLAB // max(pairs, 1))
+        for r0 in range(0, mat.shape[0], rows_per):
+            sub = jnp.asarray(mat[r0 : r0 + rows_per])
+            v, w = _emit_intra(sub, cap)
+            push(v, w)
+    for pair in (cross, cross_full):
+        if pair is None:
+            continue
+        A, B = pair
+        per_row = A.shape[1] * B.shape[1]
+        rows_per = max(1, SLAB // max(per_row, 1))
+        for r0 in range(0, A.shape[0], rows_per):
+            v, w = _emit_cross(jnp.asarray(A[r0 : r0 + rows_per]),
+                               jnp.asarray(B[r0 : r0 + rows_per]))
+            push(v, w)
+    flush(force=True)
+    return total
+
+
+# ---------------------------------------------------------------------------
+# public entry
 
 
 def global_triangle_count(graph: UndirectedCsrGraph) -> TriangleCountResult:
     """Count triangles of an undirected graph.
 
     Mirrors ``global_triangle_count(&g) -> u64`` (triangle_count.rs:22);
-    see the module docstring for per-layout semantics.
+    see the module docstring for per-layout semantics and the design.
     """
     if graph.layout is CsrLayout.SORTED:
         return _multiset_triangle_count(graph)
@@ -121,139 +300,84 @@ def global_triangle_count(graph: UndirectedCsrGraph) -> TriangleCountResult:
         )
     start = time.perf_counter()
     n = graph.node_count
-
-    # Forward edges (v < u), sorted by v so high blocks can be skipped.
-    srcs = np.asarray(graph.csr.sources)
-    tgts = np.asarray(graph.csr.targets)
-    fwd = tgts < srcs
-    u_np = srcs[fwd]
-    v_np = tgts[fwd]
-    order = np.argsort(v_np, kind="stable")
-    u_np, v_np = u_np[order], v_np[order]
-    m = u_np.shape[0]
-
-    if m == 0 or n == 0:
+    srcs = np.asarray(graph.csr.sources).astype(np.int64)
+    tgts = np.asarray(graph.csr.targets).astype(np.int64)
+    if n == 0 or srcs.size == 0:
         return TriangleCountResult(
-            triangles=0, micros=int((time.perf_counter() - start) * 1e6)
-        )
+            triangles=0, micros=int((time.perf_counter() - start) * 1e6))
+    if n >= SENT:
+        raise ValueError(f"triangle count supports node_count < 2^29, got {n}")
 
-    # Adaptive chunk size: small graphs should not pad to the full chunk.
-    chunk_edges = 1024
-    while chunk_edges < m and chunk_edges < CHUNK_EDGES:
-        chunk_edges *= 2
+    # ascending-degree rank bounds forward degree by the arboricity
+    deg = np.bincount(srcs, minlength=n)
+    order = np.argsort(deg, kind="stable")
+    rank = np.empty(n, np.int64)
+    rank[order] = np.arange(n)
+    a = rank[srcs]
+    b = rank[tgts]
+    fwd = a < b  # each undirected edge once; self-loops drop (equal rank)
+    a, b = a[fwd], b[fwd]
+    o = np.lexsort((b, a))
+    a, b = a[o], b[o]
 
-    # Pad the edge list to a whole number of chunks with (0, -1) dummy
-    # edges: v = -1 is outside every column block (no bits scattered) and
-    # row 0 has no forward neighbors (popcount contribution 0).
-    n_chunks = -(-m // chunk_edges)
-    pad = n_chunks * chunk_edges - m
-    u_np = np.pad(u_np, (0, pad), constant_values=0)
-    v_np = np.pad(v_np, (0, pad), constant_values=-1)
-    u_dev = jnp.asarray(u_np)
-    v_dev = jnp.asarray(v_np)
-
-    n_blocks = -(-n // BLOCK_BITS)
-    partials = []
-    for b in range(n_blocks):
-        block_start = b * BLOCK_BITS
-        # First chunk containing an edge with v > block_start (an edge
-        # contributes to block b only if some w in F(v) >= block_start,
-        # which needs v > block_start).
-        first_edge = int(np.searchsorted(v_np[:m], block_start + 1))
-        first_chunk = first_edge // chunk_edges
-        if first_chunk >= n_chunks:
-            continue
-        bitmap = _build_block_bitmap(u_dev, v_dev, jnp.int64(block_start).astype(u_dev.dtype), n)
-        for c in range(first_chunk, n_chunks):
-            s = c * chunk_edges
-            partials.append(
-                _count_chunk(bitmap, u_dev[s : s + chunk_edges], v_dev[s : s + chunk_edges])
-            )
-
-    total = int(np.sum(np.asarray([int(p) for p in partials], dtype=np.int64)))
+    mats, cross = _pack_chunks(a.astype(np.int64), b.astype(np.int32))
+    count = _run_join(mats, cross, a, b)
     micros = int((time.perf_counter() - start) * 1e6)
-    return TriangleCountResult(triangles=total, micros=micros)
+    return TriangleCountResult(triangles=count, micros=micros)
 
 
 def _multiset_triangle_count(graph: UndirectedCsrGraph) -> TriangleCountResult:
     """Reference merge-loop semantics on SORTED lists (see module doc)."""
     start = time.perf_counter()
     n = graph.node_count
-    srcs = np.asarray(graph.csr.sources)
-    tgts = np.asarray(graph.csr.targets)
-
-    # Occurrences with target <= source double as both the e1 pairs
-    # (v-occurrence in N(u), v <= u) and the per-node F(v) prefix lists
-    # (w-occurrences in N(v), w <= v) — sorted rows keep them prefixes.
-    mask = tgts <= srcs
-    u1 = srcs[mask].astype(np.int64)
-    v1 = tgts[mask].astype(np.int64)
-    f_deg = np.bincount(u1, minlength=n)
-    f_offsets = np.concatenate([[0], np.cumsum(f_deg)])
-
-    counts = f_deg[v1]
-    total_wedges = int(counts.sum())
-    if total_wedges == 0:
+    srcs = np.asarray(graph.csr.sources).astype(np.int64)
+    tgts = np.asarray(graph.csr.targets).astype(np.int64)
+    if n == 0 or srcs.size == 0:
         return TriangleCountResult(
-            triangles=0, micros=int((time.perf_counter() - start) * 1e6)
-        )
+            triangles=0, micros=int((time.perf_counter() - start) * 1e6))
+    if n >= SENT:
+        raise ValueError(f"triangle count supports node_count < 2^29, got {n}")
 
-    # Ragged expansion: wedge i pairs e1 = (u1[r], v1[r]) with the
-    # idx-th entry of F(v1[r]).
-    rep = np.repeat(np.arange(len(u1)), counts)
-    base = np.repeat(f_offsets[v1], counts)
-    cum = np.repeat(np.cumsum(counts) - counts, counts)
-    idx = base + (np.arange(total_wedges) - cum)
-    wedge_u = u1[rep]
-    wedge_w = v1[idx]
+    # occurrence prefixes: F(v) = {w in N(v), w <= v} (with duplicates)
+    mask = tgts <= srcs
+    u1 = srcs[mask]
+    v1 = tgts[mask]
+    # wedges = G(v) x F(v) where G(v) = {u occurrences with v in F(u)};
+    # both grouped by v, emitted as outer products of 64-wide chunks.
+    go = np.argsort(v1, kind="stable")
+    g_heads, g_items = v1[go], u1[go].astype(np.int32)  # G lists by v
+    f_heads, f_items = u1, v1.astype(np.int32)          # F lists by v (sorted)
 
-    # Membership bitmap needs *distinct* (u, x) pairs (scatter-add of
-    # duplicate bits would corrupt words); SORTED rows make duplicates
-    # adjacent.
-    uniq = np.ones(len(srcs), dtype=bool)
-    if len(srcs) > 1:
+    top = CLASS_CAPS[-1]
+
+    def chunk_rows(heads, items):
+        degc = np.bincount(heads, minlength=n).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(degc)])
+        pos = np.arange(items.size, dtype=np.int64) - starts[heads]
+        nchunks = -(-degc // top)
+        row_start = np.concatenate([[0], np.cumsum(nchunks)])
+        mat = np.full((int(row_start[-1]), top), SENT, np.int32)
+        mat[row_start[heads] + pos // top, pos % top] = items
+        return mat, nchunks, row_start
+
+    gm, gnc, grs = chunk_rows(g_heads, g_items)
+    fm, fnc, frs = chunk_rows(f_heads, f_items)
+    pa, pb = [], []
+    for v in np.nonzero((gnc > 0) & (fnc > 0))[0]:
+        ia, ib = np.meshgrid(np.arange(gnc[v]), np.arange(fnc[v]),
+                             indexing="ij")
+        pa.append(grs[v] + ia.ravel())
+        pb.append(frs[v] + ib.ravel())
+    if not pa:
+        return TriangleCountResult(
+            triangles=0, micros=int((time.perf_counter() - start) * 1e6))
+    A = gm[np.concatenate(pa)]
+    B = fm[np.concatenate(pb)]
+
+    # membership keys: distinct (u, w) adjacency pairs, both directions
+    uniq = np.ones(srcs.size, bool)
+    if srcs.size > 1:
         uniq[1:] = ~((srcs[1:] == srcs[:-1]) & (tgts[1:] == tgts[:-1]))
-    eu = srcs[uniq]
-    ew = tgts[uniq]
-
-    order = np.argsort(wedge_w, kind="stable")
-    wedge_u = wedge_u[order]
-    wedge_w = wedge_w[order]
-
-    chunk = 1024
-    while chunk < total_wedges and chunk < CHUNK_EDGES:
-        chunk *= 2
-    n_chunks = -(-total_wedges // chunk)
-    pad = n_chunks * chunk - total_wedges
-    wedge_u = np.pad(wedge_u, (0, pad), constant_values=0)
-    wedge_w = np.pad(wedge_w, (0, pad), constant_values=-1)
-
-    id_dtype = srcs.dtype
-    wu_dev = jnp.asarray(wedge_u.astype(id_dtype))
-    ww_dev = jnp.asarray(wedge_w.astype(id_dtype))
-    eu_dev = jnp.asarray(eu)
-    ew_dev = jnp.asarray(ew)
-
-    partials = []
-    n_blocks = -(-n // BLOCK_BITS)
-    for b in range(n_blocks):
-        block_start = b * BLOCK_BITS
-        lo = int(np.searchsorted(wedge_w[: total_wedges], block_start))
-        hi = int(np.searchsorted(wedge_w[: total_wedges], block_start + BLOCK_BITS))
-        if lo == hi:
-            continue
-        bitmap = _build_block_bitmap(
-            eu_dev, ew_dev, jnp.asarray(block_start, dtype=id_dtype), n
-        )
-        bs = jnp.asarray(block_start, dtype=id_dtype)
-        for c in range(lo // chunk, -(-hi // chunk)):
-            s = c * chunk
-            partials.append(
-                _membership_chunk(
-                    bitmap, wu_dev[s : s + chunk], ww_dev[s : s + chunk], bs
-                )
-            )
-
-    total = int(np.sum(np.asarray([int(p) for p in partials], dtype=np.int64)))
+    count = _run_join({}, None, srcs[uniq], tgts[uniq], cross_full=(A, B))
     micros = int((time.perf_counter() - start) * 1e6)
-    return TriangleCountResult(triangles=total, micros=micros)
+    return TriangleCountResult(triangles=count, micros=micros)

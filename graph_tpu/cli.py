@@ -176,6 +176,9 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    from graph_tpu import enable_compile_cache
+
+    enable_compile_cache()
     logging.basicConfig(
         level=logging.INFO if args.verbose else logging.WARNING,
         format="%(asctime)s %(levelname)s %(name)s - %(message)s",

@@ -135,13 +135,14 @@ WIN_COST_RATIO = 48
 
 
 def pick_win(nslots_by_win) -> int:
-    """argmin over candidates of nslots * (WIN_COST_RATIO + win/128)."""
-    best, best_cost = None, None
-    for win, nslots in nslots_by_win.items():
-        cost = nslots * (WIN_COST_RATIO + win // 128)
-        if best_cost is None or cost < best_cost:
-            best, best_cost = win, cost
-    return best
+    """argmin over candidates of nslots * (WIN_COST_RATIO + win/128);
+    within 5% of the minimum, prefer the fewest slots (less HBM/pad —
+    measured a wash in time at scale 22, see PERF_NOTES.md)."""
+    costs = {w: ns * (WIN_COST_RATIO + w // 128)
+             for w, ns in nslots_by_win.items()}
+    cmin = min(costs.values())
+    near = [w for w, c in costs.items() if c <= cmin * 1.05]
+    return min(near, key=lambda w: nslots_by_win[w])
 
 
 def plan_cache_path(cache_dir: str, src, dst, n: int, values=None,

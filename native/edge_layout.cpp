@@ -215,16 +215,21 @@ GtLayout* gt_build_layout(const int64_t* src, const int64_t* dst,
         for (int t = 0; t < nthreads; t++) pool.emplace_back(worker);
         for (auto& th : pool) th.join();
         if (!win) {
-            int64_t best_cost = -1;
-            int best = 0;
+            int64_t cost[3], nsl[3], cmin = -1;
             for (int c = 0; c < ncand; c++) {
-                int64_t ns = 0;
-                for (int64_t mi = 0; mi < nmid; mi++) ns += counts[c][mi];
-                int64_t cost =
-                    ns * (WIN_COST_RATIO + WIN_CANDIDATES[c] / 128);
-                if (best_cost < 0 || cost < best_cost) {
-                    best_cost = cost;
+                nsl[c] = 0;
+                for (int64_t mi = 0; mi < nmid; mi++) nsl[c] += counts[c][mi];
+                cost[c] = nsl[c] * (WIN_COST_RATIO + WIN_CANDIDATES[c] / 128);
+                if (cmin < 0 || cost[c] < cmin) cmin = cost[c];
+            }
+            // within 5% of the minimum, prefer fewest slots (less pad)
+            int best = 0;
+            int64_t best_ns = -1;
+            for (int c = 0; c < ncand; c++) {
+                if (cost[c] * 20 <= cmin * 21 &&
+                    (best_ns < 0 || nsl[c] < best_ns)) {
                     best = c;
+                    best_ns = nsl[c];
                 }
             }
             win = WIN_CANDIDATES[best];

@@ -9,7 +9,7 @@
 // output positions, with a per-output present bit), and the segment
 // start positions for the in-kernel segmented scan.  Layout must match
 // graph_tpu/engine/plan.py and kernels.py (SEC=65536, R=512, R1=4,
-// MID=65536).
+// MID=65536).  (Window selection lives in edge_layout.cpp.)
 //
 // Build: g++ -O3 -shared -fPIC -std=c++17 -pthread edge_plan.cpp
 
