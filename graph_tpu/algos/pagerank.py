@@ -136,6 +136,9 @@ def page_rank(
     (page_rank.rs:58).
     """
     config = config or PageRankConfig()
+    mesh = _default_mesh()
+    if mesh is not None:
+        return _page_rank_meshed(graph, config, mesh)
     engine = config.engine
     if engine == "auto":
         engine = ("plan" if graph.edge_count >= (1 << 21)
@@ -210,6 +213,26 @@ def page_rank_reference(
         iteration += 1
         if err < config.tolerance or iteration == config.max_iterations:
             return scores, iteration, err
+
+
+def _default_mesh():
+    """The mesh installed via graph_tpu.parallel.use_mesh, if multi-device."""
+    from graph_tpu.parallel.mesh import get_default_mesh
+
+    mesh = get_default_mesh()
+    if mesh is not None and mesh.devices.size > 1:
+        return mesh
+    return None
+
+
+def _page_rank_meshed(graph, config, mesh) -> PageRankResult:
+    """Route through the row-block sharded engine (ragged halo)."""
+    from graph_tpu.engine.engine import engine_for
+    from graph_tpu.parallel.pagerank import page_rank_sharded, shard_graph
+
+    sg = engine_for(graph, ("sharded-pull", id(mesh)),
+                    lambda: shard_graph(graph, mesh))
+    return page_rank_sharded(sg, mesh, config)
 
 
 # ---------------------------------------------------------------------------

@@ -130,6 +130,16 @@ def delta_stepping(
     """
     if graph.csr_in.values is None:
         raise ValueError("delta_stepping requires edge weights (values)")
+    from graph_tpu.algos.pagerank import _default_mesh
+
+    mesh = _default_mesh()
+    if mesh is not None:
+        from graph_tpu.engine.engine import engine_for
+        from graph_tpu.parallel.sssp import shard_weighted_graph, sssp_sharded
+
+        sg = engine_for(graph, ("sharded-weighted", id(mesh)),
+                        lambda: shard_weighted_graph(graph, mesh))
+        return sssp_sharded(sg, mesh, config)
     engine = getattr(config, "engine", "auto")
     if engine == "auto":
         engine = ("plan" if graph.edge_count >= (1 << 21)

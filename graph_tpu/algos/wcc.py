@@ -120,6 +120,16 @@ def wcc(
     (wcc.rs:144); accepts directed or undirected CSR graphs.
     """
     config = config or WccConfig()
+    from graph_tpu.algos.pagerank import _default_mesh
+
+    mesh = _default_mesh()
+    if mesh is not None:
+        from graph_tpu.engine.engine import engine_for
+        from graph_tpu.parallel.wcc import shard_hook_graph, wcc_sharded
+
+        sg = engine_for(graph, ("sharded-hook", id(mesh)),
+                        lambda: shard_hook_graph(graph, mesh))
+        return wcc_sharded(sg, mesh, config)
     engine = getattr(config, "engine", "auto")
     if engine == "auto":
         engine = ("plan" if graph.edge_count >= (1 << 21)

@@ -19,6 +19,37 @@ from jax.sharding import Mesh
 
 NODES_AXIS = "nodes"
 
+_DEFAULT_MESH: Optional[Mesh] = None
+
+
+def set_default_mesh(mesh: Optional[Mesh]) -> None:
+    """Install a mesh that ``page_rank``/``wcc``/``delta_stepping``
+    route through automatically (round-2: the sharded engines used to
+    require hand-assembly of shard_graph + *_sharded)."""
+    global _DEFAULT_MESH
+    _DEFAULT_MESH = mesh
+
+
+def get_default_mesh() -> Optional[Mesh]:
+    return _DEFAULT_MESH
+
+
+class use_mesh:
+    """Context manager: route algorithms through ``mesh`` inside."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+        self._prev = None
+
+    def __enter__(self):
+        self._prev = _DEFAULT_MESH
+        set_default_mesh(self.mesh)
+        return self.mesh
+
+    def __exit__(self, *exc):
+        set_default_mesh(self._prev)
+        return False
+
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = NODES_AXIS) -> Mesh:
     """1-D mesh over the first ``n_devices`` devices."""

@@ -6,11 +6,12 @@ No reference analog — the reference is single-process shared-memory
 * the in-CSR is partitioned by destination row block; each chip owns
   ``rows_per = ceil(n/P)`` rows and the in-edges pointing at them,
   padded to the maximum per-shard edge count (static shapes),
-* each iteration all-gathers the ``out_scores`` vector over ICI (the
-  simple-correct halo strategy; ragged boundary all_to_all is the
-  round-2 optimization), computes the local block's gather + segment
-  sum, and psum-reduces the L1 residual so every chip sees the same
-  convergence scalar — the convergence loop never syncs to host.
+* each iteration exchanges only the ragged BOUNDARY sets over ICI
+  (build-time per-chip-pair segments + one all_to_all, see
+  :mod:`graph_tpu.parallel.halo`; round 1 all-gathered the whole O(n)
+  vector), computes the local block's gather + segment sum, and
+  psum-reduces the L1 residual so every chip sees the same convergence
+  scalar — the convergence loop never syncs to host.
 """
 
 from __future__ import annotations
@@ -39,11 +40,15 @@ class ShardedPullGraph:
     ``PartitionSpec(axis)`` on that dimension.
     """
 
-    in_targets: jax.Array  # (P, m_pad) source node per in-edge (global ids)
+    in_targets: jax.Array  # (P, m_pad) per-edge halo-buffer positions
     in_offsets: jax.Array  # (P, rows_per + 1) local CSR offsets
     out_degrees: jax.Array  # (P, rows_per) per-block out-degrees
+    send_idx: jax.Array    # (P, P, H) ragged-halo send lists (local ids)
+    values: "jax.Array | None"  # (P, m_pad) edge weights (SSSP)
     node_count: int  # true n (unpadded)
     edge_count: int
+    halo_bytes: int = 0
+    gather_bytes: int = 0
 
     @property
     def num_shards(self) -> int:
@@ -54,14 +59,20 @@ class ShardedPullGraph:
         return self.out_degrees.shape[1]
 
 
-def shard_graph(graph: DirectedCsrGraph, mesh: Mesh, axis: str = NODES_AXIS) -> ShardedPullGraph:
-    """Partition a directed graph's in-CSR into row blocks on ``mesh``."""
+def shard_graph(graph: DirectedCsrGraph, mesh: Mesh, axis: str = NODES_AXIS,
+                weighted: bool = False) -> ShardedPullGraph:
+    """Partition a directed graph's in-CSR into row blocks on ``mesh``
+    and compile its ragged halo exchange (parallel/halo.py)."""
+    from graph_tpu.parallel.halo import build_halo
+
     P_ = mesh.shape[axis]
     n = graph.node_count
     rows_per = -(-n // P_)
 
     offsets = np.asarray(graph.csr_in.offsets, dtype=np.int64)
     targets = np.asarray(graph.csr_in.targets)
+    vals = (np.asarray(graph.csr_in.values)
+            if weighted and graph.csr_in.values is not None else None)
     outdeg = np.asarray(graph.out_degrees())
     outdeg = np.pad(outdeg, (0, rows_per * P_ - n))
 
@@ -72,33 +83,48 @@ def shard_graph(graph: DirectedCsrGraph, mesh: Mesh, axis: str = NODES_AXIS) -> 
 
     tgt = np.zeros((P_, m_pad), dtype=targets.dtype)
     off = np.zeros((P_, rows_per + 1), dtype=np.int32)
+    val = np.zeros((P_, m_pad), np.float32) if vals is not None else None
+    counts = np.zeros(P_, np.int64)
     for p in range(P_):
         lo, hi = starts[p], starts[p + 1]
+        counts[p] = hi - lo
         tgt[p, : hi - lo] = targets[lo:hi]
+        if val is not None:
+            val[p, : hi - lo] = vals[lo:hi]
         row_lo = min(p * rows_per, n)
         row_hi = min(p * rows_per + rows_per, n)
         local = offsets[row_lo : row_hi + 1] - offsets[row_lo]
         off[p, : row_hi - row_lo + 1] = local
         off[p, row_hi - row_lo + 1 :] = local[-1] if len(local) else 0
 
+    halo = build_halo(tgt, counts, rows_per)
+
     shard = NamedSharding(mesh, P(axis))
     return ShardedPullGraph(
-        in_targets=jax.device_put(jnp.asarray(tgt), shard),
+        in_targets=jax.device_put(jnp.asarray(halo.tgt_remap), shard),
         in_offsets=jax.device_put(jnp.asarray(off), shard),
         out_degrees=jax.device_put(jnp.asarray(outdeg.reshape(P_, rows_per)), shard),
+        send_idx=jax.device_put(jnp.asarray(halo.send_idx), shard),
+        values=(None if val is None
+                else jax.device_put(jnp.asarray(val), shard)),
         node_count=n,
         edge_count=graph.edge_count,
+        halo_bytes=halo.halo_bytes,
+        gather_bytes=halo.gather_bytes,
     )
 
 
 def _pagerank_sharded_fn(mesh: Mesh, axis: str, max_iterations: int, n: int):
     """Build the jitted sharded PageRank for a fixed mesh/shape config."""
 
-    def shard_fn(tgt, off, outdeg, tol, d):
+    from graph_tpu.parallel.halo import exchange
+
+    def shard_fn(tgt, off, outdeg, send_idx, tol, d):
         # per-shard views: tgt (1, m_pad) -> (m_pad,), etc.
         tgt = tgt[0]
         off = off[0]
         outdeg = outdeg[0].astype(jnp.float32)
+        send_idx = send_idx[0]
         rows_per = outdeg.shape[0]
         nf = jnp.float32(n)
         init = 1.0 / nf
@@ -117,9 +143,9 @@ def _pagerank_sharded_fn(mesh: Mesh, axis: str, max_iterations: int, n: int):
 
         def body(state):
             scores, out_scores, it, _ = state
-            # halo exchange: full out_scores vector over ICI
-            full = jax.lax.all_gather(out_scores, axis, tiled=True)  # (n_pad,)
-            contrib = full[tgt]
+            # ragged halo: only the boundary segments travel over ICI
+            halo = exchange(out_scores, send_idx, axis)
+            contrib = halo[tgt]
             sums = segment_sum_fixedpoint(contrib, off, bound=1.0)
             new = base + d * sums
             err = jax.lax.psum(jnp.sum(jnp.abs(new - scores)), axis)
@@ -133,7 +159,7 @@ def _pagerank_sharded_fn(mesh: Mesh, axis: str, max_iterations: int, n: int):
     mapped = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(), P()),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P()),
         out_specs=(P(axis), P(), P()),
     )
     return jax.jit(mapped)
@@ -155,6 +181,7 @@ def page_rank_sharded(
         sg.in_targets,
         sg.in_offsets,
         sg.out_degrees,
+        sg.send_idx,
         jnp.float32(config.tolerance),
         jnp.float32(config.damping_factor),
     )

@@ -3,8 +3,10 @@
 No reference analog (single-node reference).  Same sharding pattern as
 :mod:`graph_tpu.parallel.pagerank`: each chip owns a block of node rows
 plus the out-edges leaving them; hooks propagate labels with a local
-segment-min, the global label vector travels by all_gather, convergence
-by psum of change flags.
+segment-min over ragged halo exchanges (parallel/halo.py — only the
+boundary label segments travel), pointer jumping still all-gathers the
+label vector (jump targets are label VALUES, unknowable at build time),
+convergence by psum of change flags.
 """
 
 from __future__ import annotations
@@ -27,29 +29,38 @@ from graph_tpu.parallel.mesh import NODES_AXIS
 class ShardedHookGraph:
     """Row-block sharded out-CSR (+ in-CSR) edge arrays for hook steps."""
 
-    fwd_targets: jax.Array  # (P, mf_pad)
+    fwd_targets: jax.Array  # (P, mf_pad) halo-buffer positions
     fwd_offsets: jax.Array  # (P, rows_per+1)
-    bwd_targets: jax.Array  # (P, mb_pad)
+    fwd_send: jax.Array     # (P, P, Hf) ragged-halo send lists
+    bwd_targets: jax.Array  # (P, mb_pad) halo-buffer positions
     bwd_offsets: jax.Array  # (P, rows_per+1)
+    bwd_send: jax.Array     # (P, P, Hb)
     node_count: int
+    halo_bytes: int = 0
+    gather_bytes: int = 0
 
 
 def _block_csr(offsets, targets, n, P_, rows_per):
+    from graph_tpu.parallel.halo import build_halo
+
     offsets = np.asarray(offsets, dtype=np.int64)
     targets = np.asarray(targets)
     starts = [int(offsets[min(p * rows_per, n)]) for p in range(P_ + 1)]
     m_pad = max(max(starts[p + 1] - starts[p] for p in range(P_)), 1)
     tgt = np.zeros((P_, m_pad), dtype=targets.dtype)
     off = np.zeros((P_, rows_per + 1), dtype=np.int32)
+    counts = np.zeros(P_, np.int64)
     for p in range(P_):
         lo, hi = starts[p], starts[p + 1]
+        counts[p] = hi - lo
         tgt[p, : hi - lo] = targets[lo:hi]
         row_lo = min(p * rows_per, n)
         row_hi = min(p * rows_per + rows_per, n)
         local = offsets[row_lo : row_hi + 1] - offsets[row_lo]
         off[p, : row_hi - row_lo + 1] = local
         off[p, row_hi - row_lo + 1 :] = local[-1] if len(local) else 0
-    return tgt, off
+    halo = build_halo(tgt, counts, rows_per)
+    return halo.tgt_remap, off, halo
 
 
 def shard_hook_graph(graph, mesh: Mesh, axis: str = NODES_AXIS) -> ShardedHookGraph:
@@ -60,15 +71,19 @@ def shard_hook_graph(graph, mesh: Mesh, axis: str = NODES_AXIS) -> ShardedHookGr
         fwd = bwd = graph.csr
     else:
         fwd, bwd = graph.csr_out, graph.csr_in
-    ft, fo = _block_csr(fwd.offsets, fwd.targets, n, P_, rows_per)
-    bt, bo = _block_csr(bwd.offsets, bwd.targets, n, P_, rows_per)
+    ft, fo, fh = _block_csr(fwd.offsets, fwd.targets, n, P_, rows_per)
+    bt, bo, bh = _block_csr(bwd.offsets, bwd.targets, n, P_, rows_per)
     shard = NamedSharding(mesh, P(axis))
     return ShardedHookGraph(
         fwd_targets=jax.device_put(jnp.asarray(ft), shard),
         fwd_offsets=jax.device_put(jnp.asarray(fo), shard),
+        fwd_send=jax.device_put(jnp.asarray(fh.send_idx), shard),
         bwd_targets=jax.device_put(jnp.asarray(bt), shard),
         bwd_offsets=jax.device_put(jnp.asarray(bo), shard),
+        bwd_send=jax.device_put(jnp.asarray(bh.send_idx), shard),
         node_count=n,
+        halo_bytes=fh.halo_bytes + bh.halo_bytes,
+        gather_bytes=fh.gather_bytes + bh.gather_bytes,
     )
 
 
@@ -102,8 +117,11 @@ def wcc_sharded(
     rows_per = sg.fwd_offsets.shape[1] - 1
     n_pad = rows_per * P_
 
-    def shard_fn(ft, fo, bt, bo):
-        ft, fo, bt, bo = ft[0], fo[0], bt[0], bo[0]
+    from graph_tpu.parallel.halo import exchange
+
+    def shard_fn(ft, fo, fs, bt, bo, bs):
+        ft, fo, fs = ft[0], fo[0], fs[0]
+        bt, bo, bs = bt[0], bo[0], bs[0]
         me = jax.lax.axis_index(axis)
         comp0 = (me * rows_per + jnp.arange(rows_per, dtype=ft.dtype))
 
@@ -113,9 +131,11 @@ def wcc_sharded(
 
         def body(state):
             comp, _, it = state
-            full = jax.lax.all_gather(comp, axis, tiled=True)  # (n_pad,)
-            m1 = _segment_min_by_offsets(full[ft], fo, rows_per)
-            m2 = _segment_min_by_offsets(full[bt], bo, rows_per)
+            # ragged halo: only boundary labels travel for the hooks
+            m1 = _segment_min_by_offsets(
+                exchange(comp, fs, axis)[ft], fo, rows_per)
+            m2 = _segment_min_by_offsets(
+                exchange(comp, bs, axis)[bt], bo, rows_per)
             new = jnp.minimum(comp, jnp.minimum(m1, m2))
             # pointer jumping on the global vector
             full2 = jax.lax.all_gather(new, axis, tiled=True)
@@ -135,11 +155,12 @@ def wcc_sharded(
         shard_map(
             shard_fn,
             mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
             out_specs=(P(axis), P()),
         )
     )
-    comp, iters = mapped(sg.fwd_targets, sg.fwd_offsets, sg.bwd_targets, sg.bwd_offsets)
+    comp, iters = mapped(sg.fwd_targets, sg.fwd_offsets, sg.fwd_send,
+                         sg.bwd_targets, sg.bwd_offsets, sg.bwd_send)
     comp = comp.reshape(-1)[:n]
     comp.block_until_ready()
     micros = int((time.perf_counter() - start) * 1e6)

@@ -4,6 +4,7 @@ This substitutes for the reference's thread+barrier concurrency tests
 (SURVEY.md §4): sharded results must match single-device results.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -74,3 +75,72 @@ def test_graft_entry_single_and_multi():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     ge.dryrun_multichip(8)
+
+
+def test_halo_volume_below_all_gather():
+    """Ragged halo must move fewer padded bytes than the all_gather it
+    replaces on a partition-unfriendly random graph."""
+    import jax
+
+    from graph_tpu.graph.build import build_directed
+    from graph_tpu.parallel.mesh import make_mesh
+    from graph_tpu.parallel.pagerank import shard_graph
+
+    n, m = 1 << 13, 1 << 15
+    g = np.random.default_rng(9)
+    src = g.integers(0, n, m)
+    dst = g.integers(0, n, m)
+    graph = build_directed(jnp.asarray(src), jnp.asarray(dst), node_count=n)
+    mesh = make_mesh(8)
+    sg = shard_graph(graph, mesh)
+    assert sg.halo_bytes < sg.gather_bytes, (sg.halo_bytes, sg.gather_bytes)
+
+
+def test_sssp_sharded_matches_single_device():
+    from graph_tpu.algos.sssp import DeltaSteppingConfig, delta_stepping
+    from graph_tpu.graph.build import build_directed
+    from graph_tpu.parallel.mesh import make_mesh
+    from graph_tpu.parallel.sssp import shard_weighted_graph, sssp_sharded
+
+    n, m = 600, 4000
+    g = np.random.default_rng(11)
+    src = g.integers(0, n, m)
+    dst = g.integers(0, n, m)
+    w = (g.random(m) * 5).astype(np.float32)
+    graph = build_directed(jnp.asarray(src), jnp.asarray(dst),
+                           jnp.asarray(w), node_count=n)
+    single = delta_stepping(graph, DeltaSteppingConfig(0, 2.0, engine="xla"))
+    mesh = make_mesh(4)
+    sg = shard_weighted_graph(graph, mesh)
+    shard = sssp_sharded(sg, mesh, DeltaSteppingConfig(0, 2.0))
+    assert np.array_equal(single.distances_np(), shard.distances_np())
+
+
+def test_default_mesh_routes_algorithms():
+    """page_rank()/wcc()/delta_stepping() must route through the sharded
+    engines when a default mesh is installed, and bit-match."""
+    from graph_tpu.algos.pagerank import PageRankConfig, page_rank
+    from graph_tpu.algos.sssp import DeltaSteppingConfig, delta_stepping
+    from graph_tpu.algos.wcc import wcc
+    from graph_tpu.graph.build import build_directed
+    from graph_tpu.parallel.mesh import make_mesh, use_mesh
+
+    n, m = 500, 3000
+    g = np.random.default_rng(13)
+    src = g.integers(0, n, m)
+    dst = g.integers(0, n, m)
+    w = (g.random(m) * 3).astype(np.float32)
+    graph = build_directed(jnp.asarray(src), jnp.asarray(dst),
+                           jnp.asarray(w), node_count=n)
+    pr0 = page_rank(graph, PageRankConfig(engine="cumsum"))
+    wc0 = wcc(graph)
+    ss0 = delta_stepping(graph, DeltaSteppingConfig(0, 2.0, engine="xla"))
+    mesh = make_mesh(4)
+    with use_mesh(mesh):
+        pr1 = page_rank(graph)
+        wc1 = wcc(graph)
+        ss1 = delta_stepping(graph, DeltaSteppingConfig(0, 2.0))
+    np.testing.assert_allclose(pr0.scores_np(), pr1.scores_np(), atol=2e-7)
+    assert np.array_equal(np.asarray(wc0.components),
+                          np.asarray(wc1.components))
+    assert np.array_equal(ss0.distances_np(), ss1.distances_np())
