@@ -133,7 +133,6 @@ def wcc(
     engine = getattr(config, "engine", "auto")
     if engine == "auto":
         engine = ("plan" if graph.edge_count >= (1 << 21)
-                  and graph.node_count <= (1 << 24)
                   and jax.default_backend() == "tpu" else "xla")
     if engine == "plan":
         return _wcc_plan(graph)
@@ -203,26 +202,21 @@ def _sym_engine(graph):
 
 
 def _wcc_plan(graph) -> WccResult:
-    """Min-label propagation with the EdgeEngine's segment-min kernel.
+    """Min-label propagation with the EdgeEngine's INTEGER segment-min.
 
-    Labels are node ids carried in f32 (exact for n <= 2**24); hooks are
-    one engine pass over the symmetrized edges; pointer jumps use an
-    n-sized XLA gather (cheap relative to the m-sized hook).
+    Labels are int32 node ids end to end (round 2 — the round-1 f32
+    label carrier was exact only to 2**24 and silently wrong above);
+    hooks are one engine pass over the symmetrized edges; pointer jumps
+    use an n-sized XLA gather (cheap relative to the m-sized hook).
     """
     n = graph.node_count
-    if n > (1 << 24):
-        # f32 labels are exact only up to 2**24; silently wrong above.
-        raise ValueError(
-            f"engine='plan' WCC carries labels in f32, exact only for "
-            f"node_count <= 2**24 (got {n}); use engine='xla'."
-        )
     eng = _sym_engine(graph)
 
     run = getattr(eng, "_wcc_run", None)
     if run is None:
         @jax.jit
         def run(dev):
-            comp0 = jnp.arange(n, dtype=jnp.float32)
+            comp0 = jnp.arange(n, dtype=jnp.int32)
 
             def cond(state):
                 _, changed, _ = state
@@ -230,10 +224,9 @@ def _wcc_plan(graph) -> WccResult:
 
             def body(state):
                 comp, _, it = state
-                new = jnp.minimum(comp, eng.smin_dev(dev, comp))
-                idx = new.astype(jnp.int32)
-                new = new[idx]          # jump (squares pointer chains)
-                new = new[new.astype(jnp.int32)]
+                new = jnp.minimum(comp, eng.smin_int_dev(dev, comp))
+                new = new[new]          # jump (squares pointer chains)
+                new = new[new]
                 changed = jnp.any(new != comp)
                 return new, changed, it + 1
 

@@ -52,6 +52,13 @@ def _common(parser):
         default="default",
         help="force the JAX backend (default: environment's choice)",
     )
+    parser.add_argument(
+        "--profile",
+        default=None,
+        metavar="DIR",
+        help="capture a jax.profiler trace of the timed runs to DIR "
+        "(view in TensorBoard/Perfetto)",
+    )
 
 
 def build_parser():
@@ -92,8 +99,11 @@ def build_parser():
     return p
 
 
-def timed_runs(runs: int, warmup_runs: int, f):
-    """Reference ``time()`` analog (app.rs:124-153)."""
+def timed_runs(runs: int, warmup_runs: int, f, profile_dir=None):
+    """Reference ``time()`` analog (app.rs:124-153); optionally wraps
+    the measured runs in a jax.profiler trace capture."""
+    import contextlib
+
     for run in range(1, warmup_runs + 1):
         t0 = time.perf_counter()
         f()
@@ -103,13 +113,20 @@ def timed_runs(runs: int, warmup_runs: int, f):
             warmup_runs,
             time.perf_counter() - t0,
         )
+    if profile_dir:
+        from graph_tpu.profile import trace
+
+        ctx = trace(profile_dir)
+    else:
+        ctx = contextlib.nullcontext()
     durations = []
-    for run in range(1, runs + 1):
-        t0 = time.perf_counter()
-        f()
-        took = time.perf_counter() - t0
-        durations.append(took)
-        log.info("Run %d of %d finished in %.6fs", run, runs, took)
+    with ctx:
+        for run in range(1, runs + 1):
+            t0 = time.perf_counter()
+            f()
+            took = time.perf_counter() - t0
+            durations.append(took)
+            log.info("Run %d of %d finished in %.6fs", run, runs, took)
     if durations:
         log.info("Average runtime: %.6fs", sum(durations) / len(durations))
     return durations
@@ -200,14 +217,15 @@ def main(argv=None):
                 res.error,
             )
 
-        timed_runs(args.runs, args.warmup_runs, run)
+        timed_runs(args.runs, args.warmup_runs, run, args.profile)
 
     elif args.algorithm == "sssp":
         from graph_tpu.algos.sssp import DeltaSteppingConfig, delta_stepping
 
         g = _load(args, weighted=True)
         cfg = DeltaSteppingConfig(args.start_node, args.delta)
-        timed_runs(args.runs, args.warmup_runs, lambda: delta_stepping(g, cfg))
+        timed_runs(args.runs, args.warmup_runs,
+                   lambda: delta_stepping(g, cfg), args.profile)
 
     elif args.algorithm == "triangle-count":
         from graph_tpu.algos.triangle_count import global_triangle_count
@@ -223,14 +241,15 @@ def main(argv=None):
             res = global_triangle_count(g)
             log.info("Computed %s triangles", f"{res.triangles:,}")
 
-        timed_runs(args.runs, args.warmup_runs, run)
+        timed_runs(args.runs, args.warmup_runs, run, args.profile)
 
     elif args.algorithm == "wcc":
         from graph_tpu.algos.wcc import WccConfig, wcc
 
         g = _load(args)
         cfg = WccConfig(args.chunk_size, args.neighbor_rounds, args.sampling_size)
-        timed_runs(args.runs, args.warmup_runs, lambda: wcc(g, cfg))
+        timed_runs(args.runs, args.warmup_runs, lambda: wcc(g, cfg),
+                   args.profile)
 
     elif args.algorithm == "loading":
         # parse benchmark (app/src/loading.rs:11-75 analog)

@@ -138,6 +138,24 @@ class EdgeEngine:
     def smin_dev(self, dev, x: jax.Array) -> jax.Array:
         return self.apply_dev(dev, x, reduce="min")
 
+    def smin_int(self, x: jax.Array) -> jax.Array:
+        """y[d] = min over edges (s -> d) of int32 x[s]; empty rows get
+        2**31-1.  Exact for any nonnegative int32 values — the WCC label
+        path beyond f32's 2**24 (one int32 pipeline end to end)."""
+        return self.smin_int_dev(self.dev, x)
+
+    def smin_int_dev(self, dev, x: jax.Array) -> jax.Array:
+        from graph_tpu.engine.kernels import IMAX
+
+        p = self.plan
+        xp = jnp.full(p.nx, IMAX, jnp.int32).at[: p.n].set(x)
+        contrib = k1_gather(xp, dev["widx"], dev["border"], dev["sb"],
+                            dev["ws"], win=p.win, interpret=self.interpret)
+        y_mids = k2_reduce(contrib, dev["wa"], dev["wb"], dev["sstart"],
+                           dev["wa2"], dev["wb2"], dev["sec_mid"], p.nmid,
+                           op="imin", interpret=self.interpret)
+        return y_mids.reshape(-1)[: p.n]
+
 
 
 

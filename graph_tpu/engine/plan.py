@@ -56,7 +56,7 @@ class EdgePlan:
     win: int             # per-graph K1 gather window (power of two)
     widx: np.ndarray     # (nslots//128, 128) uint16
     sb: np.ndarray       # (nblocks,) int32
-    ws: np.ndarray       # (ntiles,) int32
+    ws: np.ndarray       # (ntiles,) uint8: window start / 1024
     border: np.ndarray   # (nblocks,) int32 grid order
     weights: "np.ndarray | None"  # (nslots//128, 128) f32 per-slot weights
     # K2
@@ -288,7 +288,7 @@ def build_plan(
                 wvals[pos_w + lead: pos_w + lead + srcs.size] = val_s[elo:ehi]
             pos_w += TILE
     slot_dstl = np.zeros(nslots, np.int32)  # -1 lead, MID tail/pads
-    ws = np.zeros(ntiles, np.int32)
+    ws = np.zeros(ntiles, np.int32)  # stored /1024 as uint8 below
     sb = np.zeros(nblocks, np.int32)
     pos = 0
     for t in range(ntiles):
@@ -357,7 +357,8 @@ def build_plan(
               -(-n // SLICE) + 1)) * SLICE
     plan = EdgePlan(
         n=n, m=m, nslots=nslots, nmid=nmid, nsec=nsec, nx=nx, win=win,
-        widx=widx_flat.reshape(-1, 128), sb=sb, ws=ws, border=border,
+        widx=widx_flat.reshape(-1, 128), sb=sb,
+        ws=(ws // 1024).astype(np.uint8), border=border,
         weights=None if wvals is None else wvals.reshape(-1, 128),
         wa=wa, wb=wb, sstart=sstart, wa2=wa2, wb2=wb2,
         sec_mid=sec_mid_arr,
@@ -477,8 +478,8 @@ def _build_plan_native(src, dst, n, values, m, nmid, t0, win=0):
     plan = EdgePlan(
         n=n, m=m, nslots=nslots, nmid=lay["nmid"], nsec=nsec, nx=nx,
         win=lay["win"],
-        widx=lay["widx"].reshape(-1, 128), sb=sb, ws=lay["ws"],
-        border=border,
+        widx=lay["widx"].reshape(-1, 128), sb=sb,
+        ws=(lay["ws"] // 1024).astype(np.uint8), border=border,
         weights=None if wvals is None else wvals.reshape(-1, 128),
         wa=wa_f.reshape(nsec * SEC_R, 128),
         wb=wb_f.reshape(nsec * SEC_R, 128),

@@ -111,7 +111,7 @@ def _pad_plan(plan, nsec):
     nslots = plan.nslots + add_slots
     widx = np.vstack([plan.widx,
                       np.zeros((add_slots // 128, 128), np.uint16)])
-    ws = np.concatenate([plan.ws, np.zeros(add_slots // 1024, np.int32)])
+    ws = np.concatenate([plan.ws, np.zeros(add_slots // 1024, np.uint8)])
     sb = np.concatenate([plan.sb, np.zeros(add_slots // BLK, np.int32)])
     border = np.argsort(sb, kind="stable").astype(np.int32)
     weights = plan.weights

@@ -56,6 +56,14 @@ def main(scale=19):
     assert np.array_equal(ym, ym_exp), "smin mismatch"
     print("smin exact ok")
 
+    # ---- integer smin correctness (labels beyond f32's 2**24)
+    xi = (rng.integers(0, n, n) + (1 << 30)).astype(np.int32)
+    yi = np.asarray(jax.jit(eng.smin_int_dev)(eng.dev, jnp.asarray(xi)))
+    yi_exp = np.full(n, np.iinfo(np.int32).max, np.int32)
+    np.minimum.at(yi_exp, dst, xi[src])
+    assert np.array_equal(yi, yi_exp), "smin_int mismatch"
+    print("smin_int exact ok")
+
     # ---- relax correctness (bit-exact)
     w = (rng.random(m) * 3).astype(np.float32)
     engw = EdgeEngine.build(src, dst, n, values=w)

@@ -87,3 +87,13 @@ def test_use_32_bit_flag_switches_id_dtype(test_el_path):
     with jax.enable_x64(True):
         assert _id_dtype(args64) == np.int64
         assert _id_dtype(args32) == np.int32
+
+
+def test_profile_flag_writes_trace(test_el_path, tmp_path):
+    import os
+
+    d = str(tmp_path / "trace")
+    assert run(["page-rank", "-p", test_el_path, "-r", "1", "-w", "1",
+                "--profile", d]) == 0
+    found = [f for _, _, fs in os.walk(d) for f in fs]
+    assert found, "no trace files captured"

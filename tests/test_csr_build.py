@@ -133,3 +133,26 @@ def test_isolated_tail_nodes_via_node_count():
     g = GraphBuilder().edges([(0, 1)]).node_count(5).build_directed()
     assert g.node_count == 5
     assert np.asarray(g.out_degrees()).tolist() == [1, 0, 0, 0, 0]
+
+
+def test_int64_ids_end_to_end():
+    """64-bit node ids through build -> PageRank -> WCC (x64-gated) —
+    the Idx-parametrization parity check (index.rs:9-103)."""
+    import jax
+    import jax.numpy as jnp
+
+    from graph_tpu.algos.pagerank import PageRankConfig, page_rank
+    from graph_tpu.algos.wcc import wcc
+    from graph_tpu.graph.build import build_directed
+
+    with jax.enable_x64(True):
+        src = np.array([0, 1, 2, 3, 0], np.int64)
+        dst = np.array([1, 2, 0, 4, 2], np.int64)
+        g = build_directed(src, dst, node_count=5, id_dtype=np.int64)
+        assert g.csr_out.targets.dtype == jnp.int64
+        r = page_rank(g, PageRankConfig(engine="cumsum"))
+        assert abs(float(np.sum(r.scores_np()))) <= 1.0 + 1e-5
+        w = wcc(g)
+        comps = w.components_np()
+        assert comps[0] == comps[1] == comps[2]
+        assert comps[3] == 3 and comps[4] == comps[3] or comps[4] == 4

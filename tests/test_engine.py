@@ -62,11 +62,10 @@ def test_plan_invariants():
     for t in range(ntiles):
         b = t // TPB
         w = widx[t * TILE : (t + 1) * TILE].astype(np.int64)
-        ws = plan.ws[t]
-        assert ws % 1024 == 0
-        assert ws + WIN <= NSLICES * SLICE
+        ws = int(plan.ws[t]) * 1024  # stored /1024 in uint8
+        assert ws + plan.win <= NSLICES * SLICE
         # every slot's gather index is tile-window-local
-        assert (w >= 0).all() and (w < WIN).all()
+        assert (w >= 0).all() and (w < plan.win).all()
     # border is a permutation ordered by slice
     assert np.array_equal(np.sort(plan.border), np.arange(plan.sb.size))
     assert (np.diff(plan.sb[plan.border]) >= 0).all()
@@ -346,3 +345,21 @@ def test_engine_build_honors_env_cache(tmp_path, monkeypatch):
     src, dst = _random_graph(1000, 4000, seed=91)
     EdgeEngine.build(src, dst, 1000, interpret=True)
     assert len(os.listdir(cache)) == 1
+
+
+def test_engine_smin_int_interpret():
+    """Integer segment-min must be exact for labels far beyond f32's
+    2**24 contiguous-integer range."""
+    n, m = 3000, 12000
+    src, dst = _random_graph(n, m, seed=101)
+    from graph_tpu.engine.engine import EdgeEngine
+
+    eng = EdgeEngine.build(src, dst, n, interpret=True)
+    # labels around 2**30: adjacent values are NOT representable in f32
+    x = (rng.integers(0, n, n) + (1 << 30)).astype(np.int32)
+    import jax.numpy as jnp
+
+    y = np.asarray(eng.smin_int(jnp.asarray(x)))
+    y_exp = np.full(n, np.iinfo(np.int32).max, np.int32)
+    np.minimum.at(y_exp, dst, x[src])
+    assert np.array_equal(y, y_exp)

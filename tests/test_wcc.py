@@ -94,13 +94,25 @@ def test_wcc_variant_apis_agree():
     assert np.array_equal(base, wcc_afforest_dss(g).components_np())
 
 
-def test_wcc_plan_rejects_oversized_f32_labels():
-    import pytest
+def test_wcc_plan_int_labels_small():
+    """The plan path carries int32 labels end to end (round 2) — no
+    f32 2**24 cap; cross-check against the XLA path."""
+    import jax.numpy as jnp
 
-    from graph_tpu.algos.wcc import _wcc_plan
+    from graph_tpu.algos.wcc import WccConfig, wcc
+    from graph_tpu.engine import engine as eng_mod
+    from graph_tpu.engine.engine import EdgeEngine
+    from graph_tpu.graph.build import build_directed
 
-    class Huge:
-        node_count = (1 << 24) + 1
-
-    with pytest.raises(ValueError, match="2\\*\\*24"):
-        _wcc_plan(Huge())
+    g = np.random.default_rng(17)
+    n, m = 3000, 9000
+    src = g.integers(0, n, m)
+    dst = g.integers(0, n, m)
+    graph = build_directed(jnp.asarray(src), jnp.asarray(dst), node_count=n)
+    sym = EdgeEngine.build(np.concatenate([src, dst]),
+                           np.concatenate([dst, src]), n, interpret=True)
+    eng_mod._GRAPH_ENGINES[(id(graph), "sym")] = sym
+    r_p = wcc(graph, WccConfig(engine="plan"))
+    r_x = wcc(graph, WccConfig(engine="xla"))
+    assert np.array_equal(np.asarray(r_p.components),
+                          np.asarray(r_x.components))
