@@ -134,6 +134,16 @@ def page_rank(
     Returns scores, the number of iterations ran, and the final L1 error,
     mirroring ``page_rank(&g, PageRankConfig) -> (Vec<f32>, usize, f64)``
     (page_rank.rs:58).
+
+    Runnable example (reference README analog, algos/src/lib.rs:92-141):
+
+    >>> from graph_tpu import GraphBuilder, PageRankConfig, page_rank
+    >>> g = GraphBuilder().edges([(0, 1), (1, 2), (2, 0)]).build_directed()
+    >>> res = page_rank(g, PageRankConfig(max_iterations=20))
+    >>> bool(res.error < 1e-4)
+    True
+    >>> float(round(sum(res.scores_np()), 3)) <= 1.0
+    True
     """
     config = config or PageRankConfig()
     mesh = _default_mesh()

@@ -289,6 +289,14 @@ def global_triangle_count(graph: UndirectedCsrGraph) -> TriangleCountResult:
 
     Mirrors ``global_triangle_count(&g) -> u64`` (triangle_count.rs:22);
     see the module docstring for per-layout semantics and the design.
+
+    Runnable example (reference doctest analog, triangle_count.rs:93-130):
+
+    >>> from graph_tpu import CsrLayout, GraphBuilder, global_triangle_count
+    >>> g = (GraphBuilder().csr_layout(CsrLayout.DEDUPLICATED)
+    ...      .edges([(0, 1), (1, 2), (2, 0), (2, 3)]).build_undirected())
+    >>> int(global_triangle_count(g).triangles)
+    1
     """
     if graph.layout is CsrLayout.SORTED:
         return _multiset_triangle_count(graph)

@@ -118,6 +118,13 @@ def wcc(
 
     Mirrors ``wcc_afforest_dss(&g, WccConfig) -> impl Components``
     (wcc.rs:144); accepts directed or undirected CSR graphs.
+
+    Runnable example (reference doctest analog, wcc.rs:307-329):
+
+    >>> from graph_tpu import GraphBuilder, wcc
+    >>> g = GraphBuilder().edges([(0, 1), (2, 3)]).build_directed()
+    >>> [int(c) for c in wcc(g).components_np()]
+    [0, 0, 2, 2]
     """
     config = config or WccConfig()
     from graph_tpu.algos.pagerank import _default_mesh

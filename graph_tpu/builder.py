@@ -8,6 +8,21 @@ FromInput → FromPath → build()``.
 Python redesign: one fluent class; the target graph type is chosen at
 ``build(...)`` (the reference selects it via the turbofish type
 parameter, builder.rs:530).
+
+Runnable example (mirrors the reference's builder doctest,
+crates/builder/src/lib.rs:44-96):
+
+>>> from graph_tpu import GraphBuilder
+>>> g = GraphBuilder().edges([(0, 1), (0, 2), (1, 2)]).build_directed()
+>>> (int(g.node_count), int(g.edge_count))
+(3, 3)
+>>> [int(t) for t in g.csr_out.neighbors_np(0)]
+[1, 2]
+>>> w = (GraphBuilder()
+...      .edges_with_values([(0, 1, 0.5), (1, 2, 0.25)])
+...      .build_directed())
+>>> float(w.csr_out.values[0])
+0.5
 """
 
 from __future__ import annotations
