@@ -16,6 +16,44 @@ from graph_tpu.engine.kernels import k1_gather, k2_reduce
 from graph_tpu.engine.plan import EdgePlan, build_plan
 
 
+def _k1_classes(plan: EdgePlan):
+    """Partition K1 blocks by the window rows they actually scan.
+
+    The window-row scan costs 3 VREG ops per row per tile, and most
+    blocks need far fewer rows than the graph-wide window (hub tiles
+    have tiny src spans).  Each class runs as its own pallas call with
+    a statically smaller window, chained via output aliasing — paying
+    block-max instead of graph-max rows.  Classes covering < 5% of
+    blocks merge upward (dispatch overhead isn't worth it).
+
+    Returns [(win_c, border_c)] in ascending win order; border_c keeps
+    the plan's slice-major visit order.
+    """
+    import numpy as np
+
+    from graph_tpu.engine.kernels import TILE, TPB
+
+    nblocks = plan.sb.shape[0]
+    if nblocks == 0:
+        return [(plan.win, plan.border)]
+    tile_max = plan.widx.reshape(-1, TILE).max(axis=1).astype(np.int64)
+    blk_rows = tile_max.reshape(-1, TPB).max(axis=1) // 128 + 1
+    need = np.maximum(1024, np.minimum(
+        plan.win, 2 ** np.ceil(np.log2(blk_rows * 128)).astype(np.int64)))
+    # merge classes covering < 5% of blocks into the next bigger class
+    # (the biggest class always survives)
+    wins = [int(w) for w in np.sort(np.unique(need))]
+    for w in wins[:-1]:
+        if int((need == w).sum()) < nblocks * 0.05:
+            bigger = need[need > w]
+            need[need == w] = (bigger.min() if bigger.size else w)
+    out = []
+    for w in (int(v) for v in np.sort(np.unique(need))):
+        border_c = plan.border[need[plan.border] == w].astype(np.int32)
+        out.append((w, border_c))
+    return out
+
+
 class EdgeEngine:
     """Device-resident compiled edge-traversal plan."""
 
@@ -23,6 +61,20 @@ class EdgeEngine:
         self.plan = plan
         self.interpret = interpret
         self.dev = plan.device_arrays()
+        self.k1_wins = []
+        for win_c, border_c in _k1_classes(plan):
+            self.k1_wins.append(win_c)
+            self.dev[f"border{win_c}"] = jnp.asarray(border_c)
+
+    def _k1(self, dev, xp, weights=None, combine="none"):
+        """Chained per-window-class K1 calls (see :func:`_k1_classes`)."""
+        contrib = None
+        for win_c in self.k1_wins:
+            contrib = k1_gather(
+                xp, dev["widx"], dev[f"border{win_c}"], dev["sb"],
+                dev["ws"], win=win_c, weights=weights, combine=combine,
+                out_init=contrib, interpret=self.interpret)
+        return contrib
 
     @classmethod
     def build(cls, src, dst, n, values=None, colorer=None,
@@ -105,9 +157,7 @@ class EdgeEngine:
         fill = 0.0 if reduce == "sum" else INF
         xp = jnp.full(p.nx, fill, jnp.float32).at[: p.n].set(x)
         weights = dev.get("weights") if combine != "none" else None
-        contrib = k1_gather(xp, dev["widx"], dev["border"], dev["sb"],
-                            dev["ws"], win=p.win, weights=weights,
-                            combine=combine, interpret=self.interpret)
+        contrib = self._k1(dev, xp, weights=weights, combine=combine)
         y_mids = k2_reduce(contrib, dev["wa"], dev["wb"], dev["sstart"],
                            dev["wa2"], dev["wb2"], dev["sec_mid"], p.nmid,
                            op=reduce, interpret=self.interpret)
@@ -149,8 +199,7 @@ class EdgeEngine:
 
         p = self.plan
         xp = jnp.full(p.nx, IMAX, jnp.int32).at[: p.n].set(x)
-        contrib = k1_gather(xp, dev["widx"], dev["border"], dev["sb"],
-                            dev["ws"], win=p.win, interpret=self.interpret)
+        contrib = self._k1(dev, xp)
         y_mids = k2_reduce(contrib, dev["wa"], dev["wb"], dev["sstart"],
                            dev["wa2"], dev["wb2"], dev["sec_mid"], p.nmid,
                            op="imin", interpret=self.interpret)

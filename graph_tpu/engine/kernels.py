@@ -88,24 +88,29 @@ def _k1_kernel(border_ref, sb_ref, ws_ref, x0_ref, x1_ref, x2_ref,
 
 
 def k1_gather(x_padded, widx, border, sb, ws, *, win=WIN, weights=None,
-              combine="add", interpret=False):
+              combine="add", out_init=None, interpret=False):
     """Per-edge gather: out[i] = x_padded[plan position of slot i].
 
     x_padded: (nx,) f32, nx a multiple of SLICE (>= (max(sb)+NSLICES)*SLICE).
     widx: (nslots//128, 128) uint16 tile-window-local positions (< win).
-    border: (nblocks,) int32 slice-major block visit order (prefetched);
+    border: (k1 grid,) int32 slice-major block visit order (prefetched);
         grid step k processes block border[k], so each x slice streams
         through VMEM exactly once even though blocks of different mids
-        revisit the same slices.
+        revisit the same slices.  May cover a SUBSET of blocks (window
+        classes): pass the previous class's result as ``out_init`` —
+        it is buffer-aliased to the output so unvisited blocks pass
+        through untouched.
     sb: (nblocks,) int32 slice index of each block (prefetched).
     ws: (ntiles,) uint8 window starts / 1024 (slice-local; uint8 keeps
         the SMEM prefetch under the 1 MB scoped limit at scale 24).
-    win: static per-graph gather window (plan.win; power of two <= WIN).
-    Returns (nslots//128, 128) f32 contributions.
+    win: static gather window for THESE blocks (power of two <= WIN).
+    Returns (nslots//128, 128) contributions (x_padded's dtype).
     """
     nrows = widx.shape[0]
-    nblk = nrows * 128 // BLK
-    n_in = 4 if weights is None else 5
+    nblk = border.shape[0]
+    n_in = (4 if weights is None else 5) + (0 if out_init is None else 1)
+    blockspec = pl.BlockSpec((BLK // 128, 128),
+                             lambda k, bo, sb, ws: (bo[k], 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nblk,),
@@ -113,29 +118,34 @@ def k1_gather(x_padded, widx, border, sb, ws, *, win=WIN, weights=None,
             pl.BlockSpec((SLICE,), lambda k, bo, sb, ws: (sb[bo[k]],)),
             pl.BlockSpec((SLICE,), lambda k, bo, sb, ws: (sb[bo[k]] + 1,)),
             pl.BlockSpec((SLICE,), lambda k, bo, sb, ws: (sb[bo[k]] + 2,)),
-        ] + [pl.BlockSpec((BLK // 128, 128),
-                          lambda k, bo, sb, ws: (bo[k], 0))] * (n_in - 3),
-        out_specs=pl.BlockSpec((BLK // 128, 128),
-                               lambda k, bo, sb, ws: (bo[k], 0)),
+        ] + [blockspec] * (n_in - 3),
+        out_specs=blockspec,
         scratch_shapes=[pltpu.VMEM((NSLICES * SLICE,), x_padded.dtype)],
     )
     if weights is None:
         def kernel(border_ref, sb_ref, ws_ref, x0, x1, x2, widx_ref,
-                   out_ref, xs_ref):
+                   *rest):
+            out_ref, xs_ref = rest[-2], rest[-1]
             _k1_kernel(border_ref, sb_ref, ws_ref, x0, x1, x2, widx_ref,
                        out_ref, xs_ref, win=win)
-        args = (border, sb, ws, x_padded, x_padded, x_padded, widx)
+        args = [border, sb, ws, x_padded, x_padded, x_padded, widx]
     else:
         def kernel(border_ref, sb_ref, ws_ref, x0, x1, x2, widx_ref,
-                   ew_ref, out_ref, xs_ref):
+                   ew_ref, *rest):
+            out_ref, xs_ref = rest[-2], rest[-1]
             _k1_kernel(border_ref, sb_ref, ws_ref, x0, x1, x2, widx_ref,
                        out_ref, xs_ref, win=win, ew_ref=ew_ref,
                        combine=combine)
-        args = (border, sb, ws, x_padded, x_padded, x_padded, widx, weights)
+        args = [border, sb, ws, x_padded, x_padded, x_padded, widx, weights]
+    aliases = {}
+    if out_init is not None:
+        aliases = {len(args): 0}  # operand index -> output 0
+        args.append(out_init)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nrows, 128), x_padded.dtype),
+        input_output_aliases=aliases,
         interpret=interpret,
     )(*args)
 

@@ -42,6 +42,14 @@ class ShardedEdgeEngine:
         self.axis = axis
         self.template = engines[0]
         self.template.interpret = interpret
+        # per-device window-class splits differ in shape, so the stacked
+        # engine runs one class (the shared plan win) on every device
+        win = self.template.plan.win
+        for e in engines:
+            e.k1_wins = [win]
+            e.dev = {k: v for k, v in e.dev.items()
+                     if not (k.startswith("border") and k != "border")}
+            e.dev[f"border{win}"] = e.dev["border"]
         # stack per-device plan arrays along a leading axis
         devs = [e.dev for e in engines]
         self.dev_stacked = {
