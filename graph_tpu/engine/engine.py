@@ -49,7 +49,7 @@ def _k1_classes(plan: EdgePlan):
             need[need == w] = (bigger.min() if bigger.size else w)
     out = []
     for w in (int(v) for v in np.sort(np.unique(need))):
-        border_c = plan.border[need[plan.border] == w].astype(np.int32)
+        border_c = plan.border[need[plan.border.astype(np.int64)] == w]
         out.append((w, border_c))
     return out
 

@@ -63,7 +63,7 @@ def _k1_kernel(border_ref, sb_ref, ws_ref, x0_ref, x1_ref, x2_ref,
     xs_ref[0:SLICE] = x0_ref[:]
     xs_ref[SLICE:2 * SLICE] = x1_ref[:]
     xs_ref[2 * SLICE:] = x2_ref[:]
-    blk = border_ref[pl.program_id(0)]
+    blk = border_ref[pl.program_id(0)].astype(jnp.int32)
 
     def tile_body(t, _):
         start = pl.multiple_of(
@@ -109,15 +109,20 @@ def k1_gather(x_padded, widx, border, sb, ws, *, win=WIN, weights=None,
     nrows = widx.shape[0]
     nblk = border.shape[0]
     n_in = (4 if weights is None else 5) + (0 if out_init is None else 1)
+    def _i(v):  # index maps must return signed integer scalars
+        return v.astype(jnp.int32)
+
     blockspec = pl.BlockSpec((BLK // 128, 128),
-                             lambda k, bo, sb, ws: (bo[k], 0))
+                             lambda k, bo, sb, ws: (_i(bo[k]), 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((SLICE,), lambda k, bo, sb, ws: (sb[bo[k]],)),
-            pl.BlockSpec((SLICE,), lambda k, bo, sb, ws: (sb[bo[k]] + 1,)),
-            pl.BlockSpec((SLICE,), lambda k, bo, sb, ws: (sb[bo[k]] + 2,)),
+            pl.BlockSpec((SLICE,), lambda k, bo, sb, ws: (_i(sb[bo[k]]),)),
+            pl.BlockSpec((SLICE,),
+                         lambda k, bo, sb, ws: (_i(sb[bo[k]]) + 1,)),
+            pl.BlockSpec((SLICE,),
+                         lambda k, bo, sb, ws: (_i(sb[bo[k]]) + 2,)),
         ] + [blockspec] * (n_in - 3),
         out_specs=blockspec,
         scratch_shapes=[pltpu.VMEM((NSLICES * SLICE,), x_padded.dtype)],

@@ -55,9 +55,9 @@ class EdgePlan:
     # K1
     win: int             # per-graph K1 gather window (power of two)
     widx: np.ndarray     # (nslots//128, 128) uint16
-    sb: np.ndarray       # (nblocks,) int32
+    sb: np.ndarray       # (nblocks,) uint16/int32 (see _block_dtype)
     ws: np.ndarray       # (ntiles,) uint8: window start / 1024
-    border: np.ndarray   # (nblocks,) int32 grid order
+    border: np.ndarray   # (nblocks,) uint16/int32 grid order
     weights: "np.ndarray | None"  # (nslots//128, 128) f32 per-slot weights
     # K2
     wa: np.ndarray       # (nsec*512, 128) uint16 route 1 (bit15: input pad)
@@ -67,7 +67,9 @@ class EdgePlan:
     wb2: np.ndarray      # (nsec*512, 128) uint16
     sec_mid: np.ndarray  # (nsec,) int32
 
-    FORMAT_VERSION = 2  # v2: compaction replaced by route 2 (wa2/wb2)
+    FORMAT_VERSION = 3  # v3: uint16 sb/border when the block count fits
+    # (per-tile/block SMEM prefetch must stay under the 1 MB scoped
+    # limit at scale 24+; v2: compaction replaced by route 2)
 
     def save(self, path: str) -> None:
         """Snapshot the plan (same discipline as the reference's binary
@@ -132,6 +134,11 @@ class EdgePlan:
 #: (IO + K2 share) to one window-row scan (~0.12 ns / 0.0024 ns).
 WIN_CANDIDATES = (2048, 4096, 8192)
 WIN_COST_RATIO = 48
+
+
+def _block_dtype(nblocks: int):
+    """Narrowest dtype for block ids/indices (SMEM prefetch budget)."""
+    return np.uint16 if nblocks < (1 << 16) else np.int32
 
 
 def pick_win(nslots_by_win) -> int:
@@ -322,7 +329,9 @@ def build_plan(
         pos += TILE
 
     # slice-major block visit order (stream x through VMEM once)
-    border = np.argsort(sb, kind="stable").astype(np.int32)
+    bdt = _block_dtype(nblocks)
+    border = np.argsort(sb, kind="stable").astype(bdt)
+    sb = sb.astype(bdt)
 
     # ---- K2 per-section routing (native C++ when available)
     sec_mid_arr = np.asarray(sec_mid_list, np.int32)
@@ -471,9 +480,11 @@ def _build_plan_native(src, dst, n, values, m, nmid, t0, win=0):
     wa_f, wb_f, sstart_f, wa2_f, wb2_f = native
     sec_mid_arr = lay["sec_mid"]
     sb = lay["sb"]
-    border = np.argsort(sb, kind="stable").astype(np.int32)
+    bdt = _block_dtype(sb.size)
+    border = np.argsort(sb, kind="stable").astype(bdt)
     nx = (max(int(sb.max()) + NSLICES if sb.size else NSLICES,
               -(-n // SLICE) + 1)) * SLICE
+    sb = sb.astype(bdt)
     wvals = lay["wvals"]
     plan = EdgePlan(
         n=n, m=m, nslots=nslots, nmid=lay["nmid"], nsec=nsec, nx=nx,

@@ -120,8 +120,14 @@ def _pad_plan(plan, nsec):
     widx = np.vstack([plan.widx,
                       np.zeros((add_slots // 128, 128), np.uint16)])
     ws = np.concatenate([plan.ws, np.zeros(add_slots // 1024, np.uint8)])
-    sb = np.concatenate([plan.sb, np.zeros(add_slots // BLK, np.int32)])
-    border = np.argsort(sb, kind="stable").astype(np.int32)
+    from graph_tpu.engine.plan import _block_dtype
+
+    sb = np.concatenate(
+        [plan.sb.astype(np.int64),
+         np.zeros(add_slots // BLK, np.int64)])
+    bdt = _block_dtype(sb.size)
+    border = np.argsort(sb, kind="stable").astype(bdt)
+    sb = sb.astype(bdt)
     weights = plan.weights
     if weights is not None:
         weights = np.vstack([weights,
