@@ -30,7 +30,6 @@ keeps the reference's fields for API compatibility.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
 from typing import Optional, Union
 

@@ -72,7 +72,8 @@ class EdgeEngine:
         for win_c in self.k1_wins:
             contrib = k1_gather(
                 xp, dev["widx"], dev[f"border{win_c}"], dev["sb"],
-                dev["ws"], win=win_c, weights=weights, combine=combine,
+                dev["ws"], win=win_c, nslices=self.plan.nslices,
+                weights=weights, combine=combine,
                 out_init=contrib, interpret=self.interpret)
         return contrib
 

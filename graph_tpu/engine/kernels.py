@@ -47,9 +47,8 @@ MID = 65536            # destinations per mid
 FIXED_BITS = 30        # fixed-point fraction bits
 
 
-def _k1_kernel(border_ref, sb_ref, ws_ref, x0_ref, x1_ref, x2_ref,
-               widx_ref, out_ref, xs_ref, *, win=WIN, ew_ref=None,
-               combine="none"):
+def _k1_kernel(border_ref, sb_ref, ws_ref, x_refs, widx_ref, out_ref,
+               xs_ref, *, win=WIN, ew_ref=None, combine="none"):
     """Windowed gather; optionally combines a per-edge weight stream:
     combine="add" -> x[src] + w (tropical, SSSP relaxation),
     combine="mul" -> x[src] * w (weighted SpMV).
@@ -60,10 +59,18 @@ def _k1_kernel(border_ref, sb_ref, ws_ref, x0_ref, x1_ref, x2_ref,
     (padding) don't outweigh the saved rows.  Scalar-predicated
     per-tile row counts were measured 3.7x SLOWER than this static
     unroll (branch+VMEM-roundtrip per row, see PERF_NOTES.md)."""
-    xs_ref[0:SLICE] = x0_ref[:]
-    xs_ref[SLICE:2 * SLICE] = x1_ref[:]
-    xs_ref[2 * SLICE:] = x2_ref[:]
-    blk = border_ref[pl.program_id(0)].astype(jnp.int32)
+    k = pl.program_id(0)
+    blk = border_ref[k].astype(jnp.int32)
+    # restage the x slices only when the slice base changes: blocks
+    # visit in slice-major order, so most steps reuse the scratch
+    # (saves ~256 VREG copies per slice per 16K-slot block)
+    prev_sb = sb_ref[border_ref[jnp.maximum(k - 1, 0)]].astype(jnp.int32)
+    cur_sb = sb_ref[blk].astype(jnp.int32)
+
+    @pl.when((k == 0) | (cur_sb != prev_sb))
+    def _():
+        for i, xr in enumerate(x_refs):
+            xs_ref[i * SLICE:(i + 1) * SLICE] = xr[:]
 
     def tile_body(t, _):
         start = pl.multiple_of(
@@ -87,8 +94,8 @@ def _k1_kernel(border_ref, sb_ref, ws_ref, x0_ref, x1_ref, x2_ref,
     jax.lax.fori_loop(0, TPB, tile_body, 0, unroll=True)
 
 
-def k1_gather(x_padded, widx, border, sb, ws, *, win=WIN, weights=None,
-              combine="add", out_init=None, interpret=False):
+def k1_gather(x_padded, widx, border, sb, ws, *, win=WIN, nslices=NSLICES,
+              weights=None, combine="add", out_init=None, interpret=False):
     """Per-edge gather: out[i] = x_padded[plan position of slot i].
 
     x_padded: (nx,) f32, nx a multiple of SLICE (>= (max(sb)+NSLICES)*SLICE).
@@ -104,44 +111,49 @@ def k1_gather(x_padded, widx, border, sb, ws, *, win=WIN, weights=None,
     ws: (ntiles,) uint8 window starts / 1024 (slice-local; uint8 keeps
         the SMEM prefetch under the 1 MB scoped limit at scale 24).
     win: static gather window for THESE blocks (power of two <= WIN).
+    nslices: x slices staged per block (plan.nslices; the block span
+        budget nslices*SLICE binds pad growth at large src gaps —
+        scale-24 graphs pair win=16384 with nslices=8).
     Returns (nslots//128, 128) contributions (x_padded's dtype).
     """
     nrows = widx.shape[0]
     nblk = border.shape[0]
-    n_in = (4 if weights is None else 5) + (0 if out_init is None else 1)
+    n_in = ((1 + nslices) if weights is None else (2 + nslices)) + (
+        0 if out_init is None else 1)
+
     def _i(v):  # index maps must return signed integer scalars
         return v.astype(jnp.int32)
+
+    def _xspec(i):
+        return pl.BlockSpec(
+            (SLICE,), lambda k, bo, sb, ws, i=i: (_i(sb[bo[k]]) + i,))
 
     blockspec = pl.BlockSpec((BLK // 128, 128),
                              lambda k, bo, sb, ws: (_i(bo[k]), 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nblk,),
-        in_specs=[
-            pl.BlockSpec((SLICE,), lambda k, bo, sb, ws: (_i(sb[bo[k]]),)),
-            pl.BlockSpec((SLICE,),
-                         lambda k, bo, sb, ws: (_i(sb[bo[k]]) + 1,)),
-            pl.BlockSpec((SLICE,),
-                         lambda k, bo, sb, ws: (_i(sb[bo[k]]) + 2,)),
-        ] + [blockspec] * (n_in - 3),
+        in_specs=[_xspec(i) for i in range(nslices)]
+        + [blockspec] * (n_in - nslices),
         out_specs=blockspec,
-        scratch_shapes=[pltpu.VMEM((NSLICES * SLICE,), x_padded.dtype)],
+        scratch_shapes=[pltpu.VMEM((nslices * SLICE,), x_padded.dtype)],
     )
     if weights is None:
-        def kernel(border_ref, sb_ref, ws_ref, x0, x1, x2, widx_ref,
-                   *rest):
-            out_ref, xs_ref = rest[-2], rest[-1]
-            _k1_kernel(border_ref, sb_ref, ws_ref, x0, x1, x2, widx_ref,
+        def kernel(border_ref, sb_ref, ws_ref, *rest):
+            x_refs = rest[:nslices]
+            widx_ref, out_ref, xs_ref = rest[nslices], rest[-2], rest[-1]
+            _k1_kernel(border_ref, sb_ref, ws_ref, x_refs, widx_ref,
                        out_ref, xs_ref, win=win)
-        args = [border, sb, ws, x_padded, x_padded, x_padded, widx]
+        args = [border, sb, ws] + [x_padded] * nslices + [widx]
     else:
-        def kernel(border_ref, sb_ref, ws_ref, x0, x1, x2, widx_ref,
-                   ew_ref, *rest):
+        def kernel(border_ref, sb_ref, ws_ref, *rest):
+            x_refs = rest[:nslices]
+            widx_ref, ew_ref = rest[nslices], rest[nslices + 1]
             out_ref, xs_ref = rest[-2], rest[-1]
-            _k1_kernel(border_ref, sb_ref, ws_ref, x0, x1, x2, widx_ref,
+            _k1_kernel(border_ref, sb_ref, ws_ref, x_refs, widx_ref,
                        out_ref, xs_ref, win=win, ew_ref=ew_ref,
                        combine=combine)
-        args = [border, sb, ws, x_padded, x_padded, x_padded, widx, weights]
+        args = [border, sb, ws] + [x_padded] * nslices + [widx, weights]
     aliases = {}
     if out_init is not None:
         aliases = {len(args): 0}  # operand index -> output 0

@@ -78,6 +78,7 @@ class _GtLayout(ctypes.Structure):
         ("nslots", ctypes.c_int64),
         ("nmid", ctypes.c_int64),
         ("win", ctypes.c_int64),
+        ("nslices", ctypes.c_int64),
         ("widx", ctypes.POINTER(ctypes.c_uint16)),
         ("keys", ctypes.POINTER(ctypes.c_int32)),
         ("wvals", ctypes.POINTER(ctypes.c_float)),
@@ -103,7 +104,7 @@ def _load_layout():
         lib.gt_build_layout.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
         ]
         lib.gt_layout_free.argtypes = [ctypes.POINTER(_GtLayout)]
         _layout_lib = lib
@@ -114,7 +115,7 @@ def _load_layout():
 
 
 def build_layout_native(src, dst, values=None, n=0, win: int = 0,
-                        nthreads: int = 0):
+                        nslices: int = 0, nthreads: int = 0):
     """Sort + slot-stream layout in C++ (win=0 auto-selects the K1
     gather window). Returns dict of arrays or None."""
     lib = _load_layout()
@@ -132,13 +133,15 @@ def build_layout_native(src, dst, values=None, n=0, win: int = 0,
         src.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         dst.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         vptr, ctypes.c_int64(src.size), ctypes.c_int64(n),
-        ctypes.c_int64(win), ctypes.c_int(nthreads))
+        ctypes.c_int64(win), ctypes.c_int64(nslices),
+        ctypes.c_int(nthreads))
     L = Lp.contents
     ns = L.nslots
     out = {
         "nslots": int(ns),
         "nmid": int(L.nmid),
         "win": int(L.win),
+        "nslices": int(L.nslices),
         "widx": np.ctypeslib.as_array(L.widx, (ns,)).copy(),
         "keys": np.ctypeslib.as_array(L.keys, (ns,)).copy(),
         "ws": np.ctypeslib.as_array(L.ws, (ns // 1024,)).copy(),

@@ -54,6 +54,7 @@ class EdgePlan:
     nx: int  # padded x length (multiple of SLICE, covers all slices + 1)
     # K1
     win: int             # per-graph K1 gather window (power of two)
+    nslices: int         # x slices staged per block (block-span budget)
     widx: np.ndarray     # (nslots//128, 128) uint16
     sb: np.ndarray       # (nblocks,) uint16/int32 (see _block_dtype)
     ws: np.ndarray       # (ntiles,) uint8: window start / 1024
@@ -67,9 +68,9 @@ class EdgePlan:
     wb2: np.ndarray      # (nsec*512, 128) uint16
     sec_mid: np.ndarray  # (nsec,) int32
 
-    FORMAT_VERSION = 3  # v3: uint16 sb/border when the block count fits
-    # (per-tile/block SMEM prefetch must stay under the 1 MB scoped
-    # limit at scale 24+; v2: compaction replaced by route 2)
+    FORMAT_VERSION = 4  # v4: per-plan nslices (block-span budget);
+    # v3: uint16 sb/border (SMEM prefetch limit at scale 24+);
+    # v2: compaction replaced by route 2
 
     def save(self, path: str) -> None:
         """Snapshot the plan (same discipline as the reference's binary
@@ -79,7 +80,7 @@ class EdgePlan:
             path,
             __header__=np.array([self.n, self.m, self.nslots, self.nmid,
                                  self.nsec, self.nx, self.FORMAT_VERSION,
-                                 self.win], np.int64),
+                                 self.win, self.nslices], np.int64),
             widx=self.widx, sb=self.sb, ws=self.ws,
             border=self.border,
             weights=(np.zeros(0, np.float32) if self.weights is None
@@ -101,6 +102,7 @@ class EdgePlan:
         return EdgePlan(
             n=int(h[0]), m=int(h[1]), nslots=int(h[2]), nmid=int(h[3]),
             nsec=int(h[4]), nx=int(h[5]), win=int(h[7]),
+            nslices=int(h[8]),
             widx=z["widx"], sb=z["sb"], ws=z["ws"],
             border=z["border"],
             weights=None if w.size == 0 else w,
@@ -128,11 +130,14 @@ class EdgePlan:
         return out
 
 
-#: Candidate K1 gather windows.  Smaller windows unroll fewer scan rows
-#: (3 VREG ops per row per 1024-slot tile) but split wide tiles into
-#: pads; WIN_COST_RATIO is the measured ratio of a tile's fixed cost
-#: (IO + K2 share) to one window-row scan (~0.12 ns / 0.0024 ns).
-WIN_CANDIDATES = (2048, 4096, 8192)
+#: Candidate (window, staged slices) configs.  Smaller windows unroll
+#: fewer scan rows (3 VREG ops per row per 1024-slot tile) but split
+#: wide tiles into pads; the 16384 window pairs with 8 staged slices
+#: because the block-span budget (nslices*SLICE) otherwise binds first
+#: at large src gaps (scale 24: gap ~16 -> 16K slots span 262K srcs).
+#: WIN_COST_RATIO is the measured ratio of a tile's fixed cost (IO +
+#: K2 share) to one window-row scan (~0.12 ns / 0.0024 ns).
+WIN_CANDIDATES = ((2048, 3), (4096, 3), (8192, 3), (16384, 8))
 WIN_COST_RATIO = 48
 
 
@@ -141,15 +146,16 @@ def _block_dtype(nblocks: int):
     return np.uint16 if nblocks < (1 << 16) else np.int32
 
 
-def pick_win(nslots_by_win) -> int:
-    """argmin over candidates of nslots * (WIN_COST_RATIO + win/128);
-    within 5% of the minimum, prefer the fewest slots (less HBM/pad —
-    measured a wash in time at scale 22, see PERF_NOTES.md)."""
-    costs = {w: ns * (WIN_COST_RATIO + w // 128)
-             for w, ns in nslots_by_win.items()}
+def pick_win(nslots_by_cfg) -> tuple:
+    """argmin over (win, nslices) configs of
+    nslots * (WIN_COST_RATIO + win/128); within 5% of the minimum,
+    prefer the fewest slots (less HBM/pad — measured a wash in time at
+    scale 22, see PERF_NOTES.md)."""
+    costs = {cfg: ns * (WIN_COST_RATIO + cfg[0] // 128)
+             for cfg, ns in nslots_by_cfg.items()}
     cmin = min(costs.values())
-    near = [w for w, c in costs.items() if c <= cmin * 1.05]
-    return min(near, key=lambda w: nslots_by_win[w])
+    near = [cfg for cfg, c in costs.items() if c <= cmin * 1.05]
+    return min(near, key=lambda cfg: nslots_by_cfg[cfg])
 
 
 def plan_cache_path(cache_dir: str, src, dst, n: int, values=None,
@@ -222,6 +228,7 @@ def build_plan(
     values: Optional[np.ndarray] = None,
     colorer=None,
     win: Optional[int] = None,
+    nslices: Optional[int] = None,
 ) -> EdgePlan:
     """Compile an edge list into an EdgePlan.
 
@@ -239,7 +246,7 @@ def build_plan(
 
     if colorer is None:
         plan = _build_plan_native(src, dst, n, values, m, nmid, t0,
-                                  win=win or 0)
+                                  win=win or 0, nslices=nslices or 0)
         if plan is not None:
             return plan
 
@@ -255,9 +262,12 @@ def build_plan(
         counts = {}
         for cand in WIN_CANDIDATES:
             counts[cand] = sum(
-                _count_slots(src_s[mid_starts[mi]:mid_starts[mi + 1]], cand)
+                _count_slots(src_s[mid_starts[mi]:mid_starts[mi + 1]],
+                             cand[0], cand[1])
                 for mi in range(nmid))
-        win = pick_win(counts)
+        win, nslices = pick_win(counts)
+    elif nslices is None:
+        nslices = dict(WIN_CANDIDATES).get(win, NSLICES)
 
     # ---- slot stream layout (per mid)
     tile_srcs: list = []       # per tile: array of real srcs or None
@@ -272,7 +282,7 @@ def build_plan(
         s0 = slot
         slot = _layout_mid_with_dst(
             src_s[lo:hi], dstl_s[lo:hi], tile_srcs, tile_pads, tile_dstl, s0,
-            tile_eidx, lo, win=win)
+            tile_eidx, lo, win=win, nslices=nslices)
         nsec_i = (slot - s0) // SEC
         sec_mid_list.extend([mi] * nsec_i)
     nslots = slot
@@ -313,7 +323,7 @@ def build_plan(
         base = sb[b] * SLICE
         if srcs is not None and srcs.size:
             first_local = srcs[0] - base
-            ws[t] = min((first_local // 1024) * 1024, NSLICES * SLICE - win)
+            ws[t] = min((first_local // 1024) * 1024, nslices * SLICE - win)
         else:
             ws[t] = 0
         fill = np.zeros(TILE, np.int64)  # pads gather window slot 0
@@ -362,10 +372,11 @@ def build_plan(
             wa2[s * SEC_R:(s + 1) * SEC_R] = wa2_s
             wb2[s * SEC_R:(s + 1) * SEC_R] = wb2_s
 
-    nx = (max(int(sb.max()) + NSLICES if nblocks else NSLICES,
+    nx = (max(int(sb.max()) + nslices if nblocks else nslices,
               -(-n // SLICE) + 1)) * SLICE
     plan = EdgePlan(
         n=n, m=m, nslots=nslots, nmid=nmid, nsec=nsec, nx=nx, win=win,
+        nslices=nslices,
         widx=widx_flat.reshape(-1, 128), sb=sb,
         ws=(ws // 1024).astype(np.uint8), border=border,
         weights=None if wvals is None else wvals.reshape(-1, 128),
@@ -381,9 +392,11 @@ def build_plan(
 
 
 def _layout_mid_with_dst(src, dstl, out_src, out_pad, out_dstl, slot0,
-                         out_eidx=None, edge_base=0, win=WIN):
+                         out_eidx=None, edge_base=0, win=WIN,
+                         nslices=NSLICES):
     """Greedy layout; also records per-tile (lo, hi) edge-index ranges."""
     span_budget = win - 1024  # worst-case room above a 1024-aligned start
+    block_span = nslices * SLICE - 1
     m_i = src.size
     cur = 0
     slot = slot0
@@ -411,7 +424,7 @@ def _layout_mid_with_dst(src, dstl, out_src, out_pad, out_dstl, slot0,
         if block_first < 0:
             block_first = first
         block_base = (block_first // SLICE) * SLICE
-        if first - block_base > BLOCK_SPAN:
+        if first - block_base > block_span:
             out_src.append(None)
             out_pad.append((TILE - lead, lead, None))
             out_dstl.append(None)
@@ -419,7 +432,7 @@ def _layout_mid_with_dst(src, dstl, out_src, out_pad, out_dstl, slot0,
                 out_eidx.append((0, 0))
             slot += TILE
             continue
-        hi_span = min(first + span_budget, block_base + BLOCK_SPAN)
+        hi_span = min(first + span_budget, block_base + block_span)
         hi = np.searchsorted(src, hi_span, side="right")
         k = min(cap, hi - cur)
         out_src.append(src[cur:cur + k])
@@ -432,9 +445,10 @@ def _layout_mid_with_dst(src, dstl, out_src, out_pad, out_dstl, slot0,
     return slot
 
 
-def _count_slots(src_sorted, win):
+def _count_slots(src_sorted, win, nslices=NSLICES):
     """Count-only replica of :func:`_layout_mid_with_dst` for one mid."""
     span_budget = win - 1024
+    block_span = nslices * SLICE - 1
     m_i = src_sorted.size
     cur = 0
     slot = 0
@@ -454,22 +468,22 @@ def _count_slots(src_sorted, win):
         if block_first < 0:
             block_first = first
         block_base = (block_first // SLICE) * SLICE
-        if first - block_base > BLOCK_SPAN:
+        if first - block_base > block_span:
             slot += TILE
             continue
-        hi_span = min(first + span_budget, block_base + BLOCK_SPAN)
+        hi_span = min(first + span_budget, block_base + block_span)
         hi = np.searchsorted(src_sorted, hi_span, side="right")
         cur += min(TILE - lead, hi - cur)
         slot += TILE
     return slot
 
 
-def _build_plan_native(src, dst, n, values, m, nmid, t0, win=0):
+def _build_plan_native(src, dst, n, values, m, nmid, t0, win=0, nslices=0):
     """Full native-layout path: C++ sort+layout, C++ section routing."""
     from graph_tpu.engine.native_route import (
         build_layout_native, build_sections_native)
 
-    lay = build_layout_native(src, dst, values, n, win=win)
+    lay = build_layout_native(src, dst, values, n, win=win, nslices=nslices)
     if lay is None:
         return None
     nslots = lay["nslots"]
@@ -482,13 +496,14 @@ def _build_plan_native(src, dst, n, values, m, nmid, t0, win=0):
     sb = lay["sb"]
     bdt = _block_dtype(sb.size)
     border = np.argsort(sb, kind="stable").astype(bdt)
-    nx = (max(int(sb.max()) + NSLICES if sb.size else NSLICES,
+    nsl = lay["nslices"]
+    nx = (max(int(sb.max()) + nsl if sb.size else nsl,
               -(-n // SLICE) + 1)) * SLICE
     sb = sb.astype(bdt)
     wvals = lay["wvals"]
     plan = EdgePlan(
         n=n, m=m, nslots=nslots, nmid=lay["nmid"], nsec=nsec, nx=nx,
-        win=lay["win"],
+        win=lay["win"], nslices=nsl,
         widx=lay["widx"].reshape(-1, 128), sb=sb,
         ws=(lay["ws"] // 1024).astype(np.uint8), border=border,
         weights=None if wvals is None else wvals.reshape(-1, 128),

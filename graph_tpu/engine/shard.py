@@ -72,8 +72,9 @@ class ShardedEdgeEngine:
             # all shards must share the K1 window (the kernel is
             # compiled once); let the first shard's auto-pick decide
             w = None if d == 0 else plans[0].win
+            ns = None if d == 0 else plans[0].nslices
             plans.append(build_plan(src[lo:hi], dst[lo:hi], n, values=v,
-                                    win=w))
+                                    win=w, nslices=ns))
         nsec = max(p.nsec for p in plans)
         plans = [_pad_plan(p, nsec) for p in plans]
         engines = [EdgeEngine(p, interpret=interpret) for p in plans]

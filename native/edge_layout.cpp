@@ -25,11 +25,12 @@ constexpr int64_t TPB = 16;
 constexpr int64_t BLK = TILE * TPB;
 constexpr int64_t SLICE = 32768;
 constexpr int64_t NSLICES = 3;
-constexpr int64_t BLOCK_SPAN = NSLICES * SLICE - 1;
-// Candidate K1 gather windows + cost model (must match plan.py:
-// cost = nslots * (WIN_COST_RATIO + win/128), ratio calibrated from
-// measured per-window-row scan cost vs fixed per-slot cost).
-constexpr int64_t WIN_CANDIDATES[3] = {2048, 4096, 8192};
+// Candidate (window, staged-slices) configs + cost model (must match
+// plan.py: cost = nslots * (WIN_COST_RATIO + win/128)).  The 16384
+// window pairs with 8 staged slices: the block-span budget
+// (nslices*SLICE) otherwise binds pad growth at large src gaps.
+constexpr int64_t WIN_CANDIDATES[4] = {2048, 4096, 8192, 16384};
+constexpr int64_t NSLICE_CANDIDATES[4] = {3, 3, 3, 8};
 constexpr int64_t WIN_COST_RATIO = 48;
 constexpr int64_t SEC = 65536;
 constexpr int64_t MID = 65536;
@@ -46,8 +47,10 @@ struct Layout {
 // Greedy layout of one mid (edges sorted by src). Two modes: count-only
 // (out == nullptr) and fill.
 int64_t layout_mid(const int64_t* src, const int64_t* dstl, const float* val,
-                   int64_t m_i, int64_t slot0, Layout* out, int64_t win) {
+                   int64_t m_i, int64_t slot0, Layout* out, int64_t win,
+                   int64_t nslices) {
     const int64_t span_budget = win - 1024;
+    const int64_t block_span = nslices * SLICE - 1;
     int64_t cur = 0;
     int64_t slot = slot0;
     int64_t block_first = -1;
@@ -76,7 +79,7 @@ int64_t layout_mid(const int64_t* src, const int64_t* dstl, const float* val,
         if (block_first < 0) block_first = first;
         int64_t block_base = (block_first / SLICE) * SLICE;
         if (out && slot % BLK == 0) out->sb[b] = (int32_t)(block_first / SLICE);
-        if (first - block_base > BLOCK_SPAN) {
+        if (first - block_base > block_span) {
             if (out) {
                 out->ws[t] = 0;
                 for (int64_t i = 0; i < TILE; i++) {
@@ -90,7 +93,7 @@ int64_t layout_mid(const int64_t* src, const int64_t* dstl, const float* val,
             continue;
         }
         int64_t hi_span = first + span_budget;
-        int64_t hs2 = block_base + BLOCK_SPAN;
+        int64_t hs2 = block_base + block_span;
         if (hs2 < hi_span) hi_span = hs2;
         // hi = upper_bound(src, hi_span)
         int64_t lo = cur, hi = m_i;
@@ -105,7 +108,7 @@ int64_t layout_mid(const int64_t* src, const int64_t* dstl, const float* val,
             int64_t base = block_base;
             int64_t first_local = first - base;
             int64_t ws_t = (first_local / 1024) * 1024;
-            int64_t wmax = NSLICES * SLICE - win;
+            int64_t wmax = nslices * SLICE - win;
             if (ws_t > wmax) ws_t = wmax;
             out->ws[t] = (int32_t)ws_t;
             for (int64_t i = 0; i < TILE; i++) {
@@ -135,6 +138,7 @@ struct GtLayout {
     int64_t nslots;
     int64_t nmid;
     int64_t win;
+    int64_t nslices;
     uint16_t* widx;
     int32_t* keys;
     float* wvals;
@@ -150,7 +154,7 @@ struct GtLayout {
 // pick the cost-model argmin).
 GtLayout* gt_build_layout(const int64_t* src, const int64_t* dst,
                           const float* values, int64_t m, int64_t n,
-                          int64_t win, int nthreads) {
+                          int64_t win, int64_t nslices, int nthreads) {
     int64_t nmid = (n + MID - 1) / MID;
     if (nmid < 1) nmid = 1;
 
@@ -192,8 +196,9 @@ GtLayout* gt_build_layout(const int64_t* src, const int64_t* dst,
     // ---- pass 1: count slots per mid (parallel over mids); win == 0
     // counts all candidates and picks the cost-model argmin.
     std::vector<int64_t> mid_slots(nmid);
+    if (win && !nslices) nslices = NSLICES;
     {
-        int ncand = win ? 1 : 3;
+        int ncand = win ? 1 : 4;
         std::vector<std::vector<int64_t>> counts(
             ncand, std::vector<int64_t>(nmid));
         std::atomic<int64_t> next{0};
@@ -204,10 +209,11 @@ GtLayout* gt_build_layout(const int64_t* src, const int64_t* dst,
                 int64_t lo = mid_start[mi];
                 for (int c = 0; c < ncand; c++) {
                     int64_t w = win ? win : WIN_CANDIDATES[c];
+                    int64_t ns = win ? nslices : NSLICE_CANDIDATES[c];
                     counts[c][mi] = layout_mid(src_s.data() + lo,
                                                dstl_s.data() + lo, nullptr,
                                                mid_start[mi + 1] - lo, 0,
-                                               nullptr, w);
+                                               nullptr, w, ns);
                 }
             }
         };
@@ -215,7 +221,7 @@ GtLayout* gt_build_layout(const int64_t* src, const int64_t* dst,
         for (int t = 0; t < nthreads; t++) pool.emplace_back(worker);
         for (auto& th : pool) th.join();
         if (!win) {
-            int64_t cost[3], nsl[3], cmin = -1;
+            int64_t cost[4], nsl[4], cmin = -1;
             for (int c = 0; c < ncand; c++) {
                 nsl[c] = 0;
                 for (int64_t mi = 0; mi < nmid; mi++) nsl[c] += counts[c][mi];
@@ -233,6 +239,7 @@ GtLayout* gt_build_layout(const int64_t* src, const int64_t* dst,
                 }
             }
             win = WIN_CANDIDATES[best];
+            nslices = NSLICE_CANDIDATES[best];
             mid_slots = counts[best];
         } else {
             mid_slots = counts[0];
@@ -246,6 +253,7 @@ GtLayout* gt_build_layout(const int64_t* src, const int64_t* dst,
     L->nslots = nslots;
     L->nmid = nmid;
     L->win = win;
+    L->nslices = nslices;
     L->widx = (uint16_t*)std::malloc(nslots * sizeof(uint16_t));
     L->keys = (int32_t*)std::malloc(nslots * sizeof(int32_t));
     L->wvals = values ? (float*)std::malloc(nslots * sizeof(float)) : nullptr;
@@ -271,7 +279,7 @@ GtLayout* gt_build_layout(const int64_t* src, const int64_t* dst,
                 view.sb = L->sb;
                 layout_mid(src_s.data() + lo, dstl_s.data() + lo,
                            values ? val_s.data() + lo : nullptr,
-                           mid_start[mi + 1] - lo, s0, &view, win);
+                           mid_start[mi + 1] - lo, s0, &view, win, nslices);
                 for (int64_t s = s0 / SEC; s < slot_off[mi + 1] / SEC; s++)
                     L->sec_mid[s] = (int32_t)mi;
             }

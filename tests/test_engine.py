@@ -363,3 +363,22 @@ def test_engine_smin_int_interpret():
     y_exp = np.full(n, np.iinfo(np.int32).max, np.int32)
     np.minimum.at(y_exp, dst, x[src])
     assert np.array_equal(y, y_exp)
+
+
+def test_engine_spmv_wide_window_interpret():
+    """The scale-24 config (win=16384, nslices=8) must stay exact."""
+    n, m = 3000, 12000
+    src, dst = _random_graph(n, m, seed=111)
+    from graph_tpu.engine.engine import EdgeEngine
+    from graph_tpu.engine.plan import build_plan
+
+    plan = build_plan(src, dst, n, win=16384, nslices=8)
+    assert plan.win == 16384 and plan.nslices == 8
+    eng = EdgeEngine(plan, interpret=True)
+    x = (rng.random(n) * 1e-4).astype(np.float32)
+    import jax.numpy as jnp
+
+    y = np.asarray(eng.spmv(jnp.asarray(x)))
+    y_exp = np.zeros(n, np.float64)
+    np.add.at(y_exp, dst, np.round(x[src].astype(np.float64) * (1 << 30)) / (1 << 30))
+    assert np.abs(y - y_exp).max() < 1e-6
