@@ -64,10 +64,13 @@ def _k1_kernel(border_ref, sb_ref, ws_ref, x_refs, widx_ref, out_ref,
     # restage the x slices only when the slice base changes: blocks
     # visit in slice-major order, so most steps reuse the scratch
     # (saves ~256 VREG copies per slice per 16K-slot block)
-    prev_sb = sb_ref[border_ref[jnp.maximum(k - 1, 0)]].astype(jnp.int32)
-    cur_sb = sb_ref[blk].astype(jnp.int32)
+    prev_blk = border_ref[jnp.maximum(k - 1, 0)].astype(jnp.int32)
+    # compare via int32 subtraction: a direct != on (u)int16 scalars
+    # emits an i16 cmpi Mosaic cannot legalize
+    sb_delta = (sb_ref[blk].astype(jnp.int32) * 2
+                - sb_ref[prev_blk].astype(jnp.int32) * 2) // 2
 
-    @pl.when((k == 0) | (cur_sb != prev_sb))
+    @pl.when((k == 0) | (sb_delta != 0))
     def _():
         for i, xr in enumerate(x_refs):
             xs_ref[i * SLICE:(i + 1) * SLICE] = xr[:]
