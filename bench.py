@@ -59,22 +59,25 @@ def detect_bw():
 
 
 def host_rmat(scale, edge_factor=16, seed=42):
-    """Graph500 RMAT on the host (for plan building without transfers)."""
+    """Graph500 RMAT on the host (for plan building without transfers).
+
+    float32 draws + int32 bit accumulation: scale-24 generation is
+    memory-bound on this 1-CPU host (same distribution, same seed
+    stream, but NOT bit-identical to the float64 original)."""
     rng = np.random.default_rng(seed)
     m = edge_factor << scale
-    src = np.zeros(m, np.int64)
-    dst = np.zeros(m, np.int64)
+    src = np.zeros(m, np.int32)
+    dst = np.zeros(m, np.int32)
     # quadrant probabilities a=0.57 b=0.19 c=0.19 d=0.05
     for b in range(scale):
-        r1 = rng.random(m)
-        r2 = rng.random(m)
-        src_bit = r1 > 0.57 + 0.19
-        dst_bit = np.where(
-            src_bit, r2 > 0.19 / (0.19 + 0.05), r2 > 0.57 / (0.57 + 0.19)
-        )
-        src |= src_bit.astype(np.int64) << b
-        dst |= dst_bit.astype(np.int64) << b
-    perm = rng.permutation(1 << scale)
+        r1 = rng.random(m, dtype=np.float32)
+        r2 = rng.random(m, dtype=np.float32)
+        src_bit = r1 > np.float32(0.57 + 0.19)
+        dst_bit = np.where(src_bit, r2 > np.float32(0.19 / (0.19 + 0.05)),
+                           r2 > np.float32(0.57 / (0.57 + 0.19)))
+        src |= np.left_shift(src_bit.view(np.int8).astype(np.int32), b)
+        dst |= np.left_shift(dst_bit.view(np.int8).astype(np.int32), b)
+    perm = rng.permutation(1 << scale).astype(np.int64)
     return perm[src], perm[dst]
 
 
