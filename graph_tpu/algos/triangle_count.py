@@ -189,14 +189,6 @@ def _pack_chunks(heads: np.ndarray, items: np.ndarray):
     return mats, cross
 
 
-def _slot_count(mats, cross):
-    total = sum(m.shape[0] * (cap * (cap - 1) // 2)
-                for cap, m in mats.items())
-    if cross is not None:
-        total += cross[0].shape[0] * cross[0].shape[1] * cross[1].shape[1]
-    return total
-
-
 def _run_join(mats, cross, ev, ew, cross_full=None):
     """Emit wedges slab by slab and join against the edge keys.
 

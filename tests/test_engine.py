@@ -382,3 +382,37 @@ def test_engine_spmv_wide_window_interpret():
     y_exp = np.zeros(n, np.float64)
     np.add.at(y_exp, dst, np.round(x[src].astype(np.float64) * (1 << 30)) / (1 << 30))
     assert np.abs(y - y_exp).max() < 1e-6
+
+
+def test_weighted_pagerank_via_public_apply():
+    """VERDICT round-1 #10 'done' criterion: weighted PageRank built
+    from the PUBLIC engine.apply semiring matches a numpy model."""
+    import jax.numpy as jnp
+
+    from graph_tpu.engine.engine import EdgeEngine
+
+    n, m = 800, 4000
+    g = np.random.default_rng(23)
+    src = g.integers(0, n, m)
+    dst = g.integers(0, n, m)
+    w = g.random(m).astype(np.float32)
+    # row-normalize weights per source (stochastic transition matrix)
+    wsum = np.zeros(n, np.float64)
+    np.add.at(wsum, src, w.astype(np.float64))
+    wn = (w / wsum[src]).astype(np.float32)
+
+    eng = EdgeEngine.build(src, dst, n, values=wn, interpret=True)
+    d = 0.85
+    x = np.full(n, 1.0 / n, np.float32)
+    xj = jnp.asarray(x)
+    for _ in range(10):
+        y = eng.apply(xj, combine="mul", reduce="sum")
+        xj = (1.0 - d) / n + d * y
+    got = np.asarray(xj)
+
+    xe = x.astype(np.float64)
+    for _ in range(10):
+        ye = np.zeros(n, np.float64)
+        np.add.at(ye, dst, xe[src] * wn.astype(np.float64))
+        xe = (1.0 - d) / n + d * ye
+    np.testing.assert_allclose(got, xe, atol=5e-6)
