@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 import time
 from typing import Optional, Tuple
 
@@ -35,6 +36,8 @@ import numpy as np
 
 from graph_tpu.graph.csr import DirectedCsrGraph
 from graph_tpu.ops.segment import segment_sum_fixedpoint, segment_sum_sorted
+
+logger = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -147,6 +150,13 @@ def page_rank(
     """
     config = config or PageRankConfig()
     mesh = _default_mesh()
+    if mesh is not None and config.engine not in ("auto", None):
+        # an explicit engine pin wins over the installed default mesh
+        # (the sharded path has no notion of "cumsum"/"plan" engines)
+        logger.info(
+            "page_rank: explicit engine=%r pins the single-device path; "
+            "default mesh ignored", config.engine)
+        mesh = None
     if mesh is not None:
         return _page_rank_meshed(graph, config, mesh)
     engine = config.engine
@@ -238,9 +248,10 @@ def _default_mesh():
 def _page_rank_meshed(graph, config, mesh) -> PageRankResult:
     """Route through the row-block sharded engine (ragged halo)."""
     from graph_tpu.engine.engine import engine_for
+    from graph_tpu.parallel.mesh import mesh_key
     from graph_tpu.parallel.pagerank import page_rank_sharded, shard_graph
 
-    sg = engine_for(graph, ("sharded-pull", id(mesh)),
+    sg = engine_for(graph, ("sharded-pull",) + mesh_key(mesh),
                     lambda: shard_graph(graph, mesh))
     return page_rank_sharded(sg, mesh, config)
 

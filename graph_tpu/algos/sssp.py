@@ -133,11 +133,15 @@ def delta_stepping(
     from graph_tpu.algos.pagerank import _default_mesh
 
     mesh = _default_mesh()
+    if mesh is not None and getattr(config, "engine", "auto") not in (
+            "auto", None):
+        mesh = None  # explicit engine pin wins over the default mesh
     if mesh is not None:
         from graph_tpu.engine.engine import engine_for
+        from graph_tpu.parallel.mesh import mesh_key
         from graph_tpu.parallel.sssp import shard_weighted_graph, sssp_sharded
 
-        sg = engine_for(graph, ("sharded-weighted", id(mesh)),
+        sg = engine_for(graph, ("sharded-weighted",) + mesh_key(mesh),
                         lambda: shard_weighted_graph(graph, mesh))
         return sssp_sharded(sg, mesh, config)
     engine = getattr(config, "engine", "auto")

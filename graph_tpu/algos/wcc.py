@@ -129,11 +129,15 @@ def wcc(
     from graph_tpu.algos.pagerank import _default_mesh
 
     mesh = _default_mesh()
+    if mesh is not None and getattr(config, "engine", "auto") not in (
+            "auto", None):
+        mesh = None  # explicit engine pin wins over the default mesh
     if mesh is not None:
         from graph_tpu.engine.engine import engine_for
+        from graph_tpu.parallel.mesh import mesh_key
         from graph_tpu.parallel.wcc import shard_hook_graph, wcc_sharded
 
-        sg = engine_for(graph, ("sharded-hook", id(mesh)),
+        sg = engine_for(graph, ("sharded-hook",) + mesh_key(mesh),
                         lambda: shard_hook_graph(graph, mesh))
         return wcc_sharded(sg, mesh, config)
     engine = getattr(config, "engine", "auto")

@@ -45,6 +45,17 @@ class ShardedEdgeEngine:
         # per-device window-class splits differ in shape, so the stacked
         # engine runs one class (the shared plan win) on every device
         win = self.template.plan.win
+        nslices = self.template.plan.nslices
+        for e in engines:
+            # every device runs the template's compiled kernel: a plan
+            # with a larger window would silently lose contributions
+            # (widx rows >= win/128 never match the K1 scan)
+            if e.plan.win != win or e.plan.nslices != nslices:
+                raise ValueError(
+                    f"all sharded plans must share (win, nslices)="
+                    f"({win}, {nslices}); got ({e.plan.win}, "
+                    f"{e.plan.nslices}) — build them via "
+                    "ShardedEdgeEngine.build or pass win=/nslices=")
         for e in engines:
             e.k1_wins = [win]
             e.dev = {k: v for k, v in e.dev.items()

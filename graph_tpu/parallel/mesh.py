@@ -34,6 +34,18 @@ def get_default_mesh() -> Optional[Mesh]:
     return _DEFAULT_MESH
 
 
+def mesh_key(mesh: Mesh) -> tuple:
+    """Stable identity for per-graph cache keys.
+
+    ``id(mesh)`` can be reused by a new Mesh after the old one is
+    garbage-collected while the graph (and its cache entry) lives on —
+    the same id-reuse hazard ``engine_for`` guards against for graphs.
+    Axis names + device ids are stable for the lifetime of the process.
+    """
+    return (tuple(mesh.axis_names),
+            tuple(int(d.id) for d in mesh.devices.flat))
+
+
 class use_mesh:
     """Context manager: route algorithms through ``mesh`` inside."""
 

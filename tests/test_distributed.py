@@ -144,3 +144,88 @@ def test_default_mesh_routes_algorithms():
     assert np.array_equal(np.asarray(wc0.components),
                           np.asarray(wc1.components))
     assert np.array_equal(ss0.distances_np(), ss1.distances_np())
+
+
+def test_sharded_fns_are_memoized(graph, mesh):
+    """A second meshed run must reuse the compiled callable instead of
+    rebuilding the shard_map+jit object (remote compiles cost 20-60 s
+    per shape on the real TPU tunnel)."""
+    from graph_tpu.parallel import pagerank as pp
+    from graph_tpu.parallel import sssp as ps
+    from graph_tpu.parallel import wcc as pw
+
+    cfg = PageRankConfig(max_iterations=5)
+    sg = shard_graph(graph, mesh)
+    page_rank_sharded(sg, mesh, cfg)
+    before = pp._pagerank_sharded_fn.cache_info().hits
+    page_rank_sharded(sg, mesh, cfg)
+    assert pp._pagerank_sharded_fn.cache_info().hits == before + 1
+
+    hg = shard_hook_graph(graph, mesh)
+    wcc_sharded(hg, mesh)
+    wb = pw._wcc_sharded_fn.cache_info().hits
+    wcc_sharded(hg, mesh)
+    assert pw._wcc_sharded_fn.cache_info().hits == wb + 1
+
+    # SSSP additionally traces the start node: two sources, one entry
+    from graph_tpu.algos.sssp import DeltaSteppingConfig, delta_stepping
+    from graph_tpu.graph.build import build_directed
+
+    rng = np.random.default_rng(5)
+    n, m = 400, 2400
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    w = (rng.random(m) * 3).astype(np.float32)
+    wg = build_directed(jnp.asarray(src), jnp.asarray(dst),
+                        jnp.asarray(w), node_count=n)
+    swg = ps.shard_weighted_graph(wg, mesh)
+    d0 = ps.sssp_sharded(swg, mesh, DeltaSteppingConfig(0, 2.0))
+    sb = ps._sssp_sharded_fn.cache_info().hits
+    d7 = ps.sssp_sharded(swg, mesh, DeltaSteppingConfig(7, 2.0))
+    assert ps._sssp_sharded_fn.cache_info().hits == sb + 1
+    r0 = delta_stepping(wg, DeltaSteppingConfig(0, 2.0))
+    r7 = delta_stepping(wg, DeltaSteppingConfig(7, 2.0))
+    assert np.array_equal(d0.distances_np(), r0.distances_np())
+    assert np.array_equal(d7.distances_np(), r7.distances_np())
+
+
+def test_engine_pin_skips_default_mesh(graph, mesh):
+    """ADVICE round-2: an explicit engine= request must win over the
+    installed default mesh instead of being silently overridden."""
+    from graph_tpu.parallel import pagerank as pp
+    from graph_tpu.parallel.mesh import use_mesh
+
+    def boom(*a, **k):
+        raise AssertionError("meshed path taken despite engine pin")
+
+    orig = pp.page_rank_sharded
+    pp.page_rank_sharded = boom
+    try:
+        with use_mesh(mesh):
+            res = page_rank(graph, PageRankConfig(engine="cumsum",
+                                                  max_iterations=5))
+        assert res.ran_iterations == 5
+        with use_mesh(mesh), pytest.raises(AssertionError, match="meshed"):
+            page_rank(graph, PageRankConfig(max_iterations=5))
+    finally:
+        pp.page_rank_sharded = orig
+
+
+def test_mesh_key_stable_across_objects(graph):
+    """Equal meshes (same axes + devices) share the per-graph sharded
+    cache even when the Mesh object identity differs (ADVICE round-2:
+    id(mesh) could be reused by a different mesh after GC)."""
+    from graph_tpu.parallel.mesh import make_mesh, mesh_key, use_mesh
+
+    m1 = make_mesh(4)
+    m2 = make_mesh(4)
+    # (jax may intern equal meshes — the key must be stable either way)
+    assert mesh_key(m1) == mesh_key(m2)
+    from graph_tpu.engine.engine import _GRAPH_ENGINES
+
+    with use_mesh(m1):
+        page_rank(graph, PageRankConfig(max_iterations=3))
+    n_entries = len(_GRAPH_ENGINES)
+    with use_mesh(m2):
+        page_rank(graph, PageRankConfig(max_iterations=3))
+    assert len(_GRAPH_ENGINES) == n_entries  # reused, not re-sharded

@@ -416,3 +416,48 @@ def test_weighted_pagerank_via_public_apply():
         np.add.at(ye, dst, xe[src] * wn.astype(np.float64))
         xe = (1.0 - d) / n + d * ye
     np.testing.assert_allclose(got, xe, atol=5e-6)
+
+
+def test_plan_cache_honors_win_override(tmp_path):
+    """ADVICE round-2: load_or_build_plan(..., win=W) must not be
+    satisfied by a cached plan built with a different window."""
+    from graph_tpu.engine.plan import load_or_build_plan
+
+    n, m = 3000, 12000
+    src, dst = _random_graph(n, m, seed=83)
+    cache = str(tmp_path / "plans")
+    p_auto = load_or_build_plan(src, dst, n, cache_dir=cache)
+    p_wide = load_or_build_plan(src, dst, n, cache_dir=cache,
+                                win=16384, nslices=8)
+    assert p_wide.win == 16384 and p_wide.nslices == 8
+    # and the override result is itself cached under its own key
+    import os
+
+    assert len(os.listdir(cache)) == 2
+    p_wide2 = load_or_build_plan(src, dst, n, cache_dir=cache,
+                                 win=16384, nslices=8)
+    assert p_wide2.win == 16384
+    p_auto2 = load_or_build_plan(src, dst, n, cache_dir=cache)
+    assert p_auto2.win == p_auto.win
+
+
+def test_sharded_engine_rejects_mixed_windows():
+    """ADVICE round-2: the public constructor must reject per-device
+    plans with mismatched (win, nslices) — the stacked kernel runs one
+    static window and would silently drop contributions."""
+    import jax
+    import pytest
+
+    from graph_tpu.engine.engine import EdgeEngine
+    from graph_tpu.engine.plan import build_plan
+    from graph_tpu.engine.shard import ShardedEdgeEngine
+    from jax.sharding import Mesh
+
+    n, m = 2000, 8000
+    src, dst = _random_graph(n, m, seed=84)
+    p1 = build_plan(src[: m // 2], dst[: m // 2], n, win=2048)
+    p2 = build_plan(src[m // 2 :], dst[m // 2 :], n, win=16384, nslices=8)
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("edges",))
+    e1, e2 = EdgeEngine(p1, interpret=True), EdgeEngine(p2, interpret=True)
+    with pytest.raises(ValueError, match="win"):
+        ShardedEdgeEngine([e1, e2], mesh, interpret=True)
