@@ -81,6 +81,33 @@ def host_rmat(scale, edge_factor=16, seed=42):
     return perm[src], perm[dst]
 
 
+def exactness_gate(eng, src, dst, n):
+    """Refuse to report GTEPS if the engine's spmv is not bit-exact.
+
+    A Mosaic lowering regression would otherwise corrupt the headline
+    number silently (VERDICT round-2 weak #9).  The host model mirrors
+    the kernel bit-for-bit: f32 quantize, int32 wraparound-sum, exact
+    /2**30 (same model as scripts/tpu_smoke.py).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    x = (rng.random(n) * 1e-5).astype(np.float32)
+    y = np.asarray(jax.jit(eng.spmv_dev)(eng.dev, jnp.asarray(x)))
+    q = np.round((x[src] * np.float32(1 << 30)).astype(np.float32))
+    acc = np.zeros(n, np.int64)
+    np.add.at(acc, dst, q.astype(np.int64))
+    y_exp = acc.astype(np.int32).astype(np.float32) / np.float32(1 << 30)
+    if not np.array_equal(y, y_exp):
+        bad = int(np.sum(y != y_exp))
+        raise SystemExit(
+            f"bench: spmv exactness gate FAILED on {bad}/{n} rows "
+            "(Mosaic lowering regression?) — refusing to report GTEPS")
+    print("# exactness gate ok (spmv bit-exact vs host quanta model)",
+          file=sys.stderr)
+
+
 def _timed(fn, *args, reps=3):
     import numpy as np
 
@@ -112,12 +139,19 @@ def bench_all():
     m = src.size
 
     t0 = time.perf_counter()
-    eng = EdgeEngine.build(src, dst, n)
+    eng = EdgeEngine.build(src, dst, n, relabel="degree")
     pr_build_s = time.perf_counter() - t0
+    exactness_gate(eng, src, dst, n)
     outdeg = np.bincount(src, minlength=n).astype(np.float32)
-    inv_outdeg = jnp.asarray(
-        np.where(outdeg > 0, 1.0 / np.maximum(outdeg, 1.0), 0.0))
+    inv_outdeg = np.where(outdeg > 0, 1.0 / np.maximum(outdeg, 1.0), 0.0)
+    if eng.plan.perm is not None:
+        inv_int = np.empty_like(inv_outdeg)
+        inv_int[eng.plan.perm] = inv_outdeg
+        inv_outdeg = inv_int
+    inv_outdeg = jnp.asarray(inv_outdeg)
     damping = jnp.float32(0.85)
+
+    from graph_tpu.engine.engine import permute
 
     @jax.jit
     def pr_run(inv_outdeg, dev):
@@ -127,12 +161,13 @@ def bench_all():
 
         def body(it, state):
             scores, out_scores = state
-            y = eng.spmv_dev(dev, out_scores)
+            y = eng.spmv_dev(dev, out_scores, internal=True)
             s = base + damping * y
             return s, s * inv_outdeg
 
-        return jax.lax.fori_loop(0, ITERS, body,
-                                 (scores0, scores0 * inv_outdeg))[0]
+        s = jax.lax.fori_loop(0, ITERS, body,
+                              (scores0, scores0 * inv_outdeg))[0]
+        return permute(dev["iperm"], s) if "iperm" in dev else s
 
     pr_s, _ = _timed(pr_run, inv_outdeg, eng.dev)
     lines.append({
@@ -249,16 +284,21 @@ def main():
     m = src.size
 
     if ENGINE == "plan":
-        from graph_tpu.engine.engine import EdgeEngine
+        from graph_tpu.engine.engine import EdgeEngine, permute
 
         t0 = time.perf_counter()
-        eng = EdgeEngine.build(src, dst, n)
+        eng = EdgeEngine.build(src, dst, n, relabel="degree")
         build_s = time.perf_counter() - t0
-        print(f"# plan build {build_s:.1f}s, pad "
+        print(f"# plan build {build_s:.1f}s, win {eng.plan.win}, pad "
               f"{100*(eng.plan.nslots-m)/eng.plan.nslots:.1f}%", file=sys.stderr)
+        exactness_gate(eng, src, dst, n)
 
         outdeg = np.bincount(src, minlength=n).astype(np.float32)
         inv_outdeg = np.where(outdeg > 0, 1.0 / np.maximum(outdeg, 1.0), 0.0)
+        if eng.plan.perm is not None:  # iterate in internal node order
+            inv_int = np.empty_like(inv_outdeg)
+            inv_int[eng.plan.perm] = inv_outdeg
+            inv_outdeg = inv_int
         inv_outdeg = jnp.asarray(inv_outdeg)
         damping = jnp.float32(0.85)
 
@@ -270,12 +310,14 @@ def main():
 
             def body(it, state):
                 scores, out_scores = state
-                y = eng.spmv_dev(dev, out_scores)
+                y = eng.spmv_dev(dev, out_scores, internal=True)
                 new_scores = base + damping * y
                 return new_scores, new_scores * inv_outdeg
 
             s, _ = jax.lax.fori_loop(
                 0, ITERS, body, (scores0, scores0 * inv_outdeg))
+            if "iperm" in dev:  # deliver scores in API node order
+                s = permute(dev["iperm"], s)
             return s
 
         dev = eng.dev

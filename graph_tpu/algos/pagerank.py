@@ -260,13 +260,20 @@ def _page_rank_meshed(graph, config, mesh) -> PageRankResult:
 # EdgeEngine-based PageRank (engine="plan")
 
 def _graph_engine(graph: DirectedCsrGraph):
-    """Build (and cache per graph identity) the forward-edge EdgeEngine."""
+    """Build (and cache per graph identity) the forward-edge EdgeEngine.
+
+    Built with the internal degree relabel: hot sources share K1 gather
+    windows, collapsing the window-row scan to few rows where the edges
+    are (the dominant single-chip cost, PERF_NOTES.md).  The iteration
+    below runs wholly in the relabeled space and permutes once at the
+    end."""
     from graph_tpu.engine.engine import EdgeEngine, engine_for
 
     return engine_for(graph, "fwd", lambda: EdgeEngine.build(
         np.asarray(graph.csr_out.sources),
         np.asarray(graph.csr_out.targets),
         graph.node_count,
+        relabel="degree",
     ))
 
 
@@ -298,9 +305,14 @@ def _page_rank_plan(graph: DirectedCsrGraph, config: PageRankConfig) -> PageRank
 
     @jax.jit
     def run(outdeg, dev, tolerance, damping):
+        from graph_tpu.engine.engine import permute
+
+        relabeled = "perm" in dev
         nf = jnp.float32(n)
         init = 1.0 / nf
         base = (1.0 - damping) / nf
+        if relabeled:  # iterate in the plan's internal node order
+            outdeg = permute(dev["perm"], outdeg)
         inv_outdeg = jnp.where(outdeg > 0, 1.0 / jnp.maximum(outdeg, 1.0), 0.0)
         scores0 = jnp.full((n,), init, jnp.float32)
 
@@ -310,15 +322,18 @@ def _page_rank_plan(graph: DirectedCsrGraph, config: PageRankConfig) -> PageRank
 
         def body(state):
             scores, out_scores, it, _ = state
-            y = eng.spmv_dev(dev, out_scores)
+            y = eng.spmv_dev(dev, out_scores, internal=True)
             new_scores = base + damping * y
             err = jnp.sum(jnp.abs(new_scores - scores))
             return new_scores, new_scores * inv_outdeg, it + 1, err
 
-        return jax.lax.while_loop(
+        scores, out_scores, iters, err = jax.lax.while_loop(
             cond, body,
             (scores0, scores0 * inv_outdeg, jnp.int32(0), jnp.float32(jnp.inf)),
         )
+        if relabeled:
+            scores = permute(dev["iperm"], scores)
+        return scores, out_scores, iters, err
 
     if not hasattr(eng, "_pr_runs"):
         eng._pr_runs = {}

@@ -176,6 +176,7 @@ def _weighted_engine(graph: DirectedCsrGraph):
             np.asarray(graph.csr_out.targets),
             graph.node_count,
             values=np.asarray(graph.csr_out.values, np.float32),
+            relabel="degree",  # see pagerank._graph_engine
         )
 
     return engine_for(graph, "fwd_weighted", build)
@@ -198,6 +199,11 @@ def _sssp_plan(graph: DirectedCsrGraph, config) -> SsspResult:
     if run is None:
         @jax.jit
         def run(dev, start_node):
+            from graph_tpu.engine.engine import permute
+
+            relabeled = "perm" in dev
+            if relabeled:  # iterate in the plan's internal node order
+                start_node = dev["perm"][start_node]
             inf = jnp.float32(3.0e38)
             dist0 = jnp.full((n,), inf, jnp.float32).at[start_node].set(0.0)
 
@@ -207,11 +213,14 @@ def _sssp_plan(graph: DirectedCsrGraph, config) -> SsspResult:
 
             def body(state):
                 dist, _, it = state
-                nd = jnp.minimum(dist, eng.relax_dev(dev, dist))
+                nd = jnp.minimum(dist, eng.relax_dev(dev, dist,
+                                                     internal=True))
                 return nd, jnp.any(nd != dist), it + 1
 
             dist, _, iters = jax.lax.while_loop(
                 cond, body, (dist0, jnp.bool_(True), jnp.int32(0)))
+            if relabeled:
+                dist = permute(dev["iperm"], dist)
             return dist, iters
 
         eng._sssp_run = run

@@ -38,8 +38,10 @@ def _k1_classes(plan: EdgePlan):
         return [(plan.win, plan.border)]
     tile_max = plan.widx.reshape(-1, TILE).max(axis=1).astype(np.int64)
     blk_rows = tile_max.reshape(-1, TPB).max(axis=1) // 128 + 1
+    # 1024-granularity classes (ws starts are 1024-aligned): power-of-two
+    # rounding cost up to 2x scan rows (e.g. 37 actual rows paid 64)
     need = np.maximum(1024, np.minimum(
-        plan.win, 2 ** np.ceil(np.log2(blk_rows * 128)).astype(np.int64)))
+        plan.win, ((blk_rows * 128 + 1023) // 1024) * 1024))
     # merge classes covering < 5% of blocks into the next bigger class
     # (the biggest class always survives)
     wins = [int(w) for w in np.sort(np.unique(need))]
@@ -54,8 +56,24 @@ def _k1_classes(plan: EdgePlan):
     return out
 
 
+def permute(key: jax.Array, v: jax.Array) -> jax.Array:
+    """out[key[i]] = v[i] via a device sort (int32 keys, ~300 Melem/s).
+
+    XLA's 1-D gather is scalarized (~15 ns/elem) on TPU; for the static
+    node permutations of a degree-relabeled plan a key-value sort is an
+    order of magnitude faster.  ``permute(plan.perm, x)`` maps original
+    order -> internal, ``permute(iperm, y)`` maps back.
+    """
+    return jax.lax.sort_key_val(key, v)[1]
+
+
 class EdgeEngine:
-    """Device-resident compiled edge-traversal plan."""
+    """Device-resident compiled edge-traversal plan.
+
+    If the plan was built with ``relabel="degree"``, the kernels run in
+    an internal node order; the public ops permute in/out per call, and
+    iterative drivers pass ``internal=True`` with pre-permuted vectors
+    (see :func:`permute`) to pay the two permutes once per run."""
 
     def __init__(self, plan: EdgePlan, interpret: bool = False):
         self.plan = plan
@@ -79,14 +97,14 @@ class EdgeEngine:
 
     @classmethod
     def build(cls, src, dst, n, values=None, colorer=None,
-              interpret: bool = False, cache_dir=None):
+              interpret: bool = False, cache_dir=None, relabel=None):
         """Build (or load from the plan cache — ``cache_dir`` or
         $GRAPH_TPU_PLAN_CACHE) the engine for an edge list."""
         from graph_tpu.engine.plan import load_or_build_plan
 
         return cls(load_or_build_plan(np.asarray(src), np.asarray(dst), n,
                                       values=values, colorer=colorer,
-                                      cache_dir=cache_dir),
+                                      cache_dir=cache_dir, relabel=relabel),
                    interpret=interpret)
 
     def spmv(self, x: jax.Array, bound: float = 1.0) -> jax.Array:
@@ -107,12 +125,13 @@ class EdgeEngine:
         """
         return self.spmv_dev(self.dev, x, bound=bound)
 
-    def spmv_dev(self, dev, x: jax.Array, bound: float = 1.0) -> jax.Array:
+    def spmv_dev(self, dev, x: jax.Array, bound: float = 1.0,
+                 internal: bool = False) -> jax.Array:
         """Functional spmv: plan arrays passed explicitly (jit-arg safe).
 
         See :meth:`spmv` for the ``bound`` fixed-point range contract.
         """
-        return self.apply_dev(dev, x, bound=bound)
+        return self.apply_dev(dev, x, bound=bound, internal=internal)
 
     def apply(self, x: jax.Array, *, combine: str = "none",
               reduce: str = "sum", bound: float = 1.0) -> jax.Array:
@@ -136,8 +155,13 @@ class EdgeEngine:
                               bound=bound)
 
     def apply_dev(self, dev, x: jax.Array, *, combine: str = "none",
-                  reduce: str = "sum", bound: float = 1.0) -> jax.Array:
-        """Functional :meth:`apply`: plan arrays passed explicitly."""
+                  reduce: str = "sum", bound: float = 1.0,
+                  internal: bool = False) -> jax.Array:
+        """Functional :meth:`apply`: plan arrays passed explicitly.
+
+        ``internal=True`` skips the degree-relabel permutes (x is
+        already in the plan's internal order and y is returned in it).
+        """
         from graph_tpu.engine.kernels import FIXED_BITS, INF
 
         if combine not in ("none", "add", "mul"):
@@ -153,10 +177,13 @@ class EdgeEngine:
                     "bound rescaling is only valid for linear reductions "
                     "(reduce='sum' with combine 'none'/'mul')")
             return self.apply_dev(dev, x * jnp.float32(1.0 / bound),
-                                  combine=combine, reduce=reduce) * bound
+                                  combine=combine, reduce=reduce,
+                                  internal=internal) * bound
         p = self.plan
+        if not internal and "perm" in dev:
+            x = permute(dev["perm"], x)
         fill = 0.0 if reduce == "sum" else INF
-        xp = jnp.full(p.nx, fill, jnp.float32).at[: p.n].set(x)
+        xp = jnp.full(p.nx, fill, jnp.float32).at[: p.nsrc].set(x)
         weights = dev.get("weights") if combine != "none" else None
         contrib = self._k1(dev, xp, weights=weights, combine=combine)
         y_mids = k2_reduce(contrib, dev["wa"], dev["wb"], dev["sstart"],
@@ -164,8 +191,12 @@ class EdgeEngine:
                            op=reduce, interpret=self.interpret)
         y = y_mids.reshape(-1)[: p.n]
         if reduce == "sum":
-            return y.astype(jnp.float32) / jnp.float32(1 << FIXED_BITS)
-        return jax.lax.bitcast_convert_type(y, jnp.float32)
+            y = y.astype(jnp.float32) / jnp.float32(1 << FIXED_BITS)
+        else:
+            y = jax.lax.bitcast_convert_type(y, jnp.float32)
+        if not internal and "perm" in dev:
+            y = permute(dev["iperm"], y)
+        return y
 
     def relax(self, dist: jax.Array) -> jax.Array:
         """y[d] = min over weighted edges (s -> d) of dist[s] + w.
@@ -176,8 +207,10 @@ class EdgeEngine:
         """
         return self.relax_dev(self.dev, dist)
 
-    def relax_dev(self, dev, dist: jax.Array) -> jax.Array:
-        return self.apply_dev(dev, dist, combine="add", reduce="min")
+    def relax_dev(self, dev, dist: jax.Array,
+                  internal: bool = False) -> jax.Array:
+        return self.apply_dev(dev, dist, combine="add", reduce="min",
+                              internal=internal)
 
     def smin(self, x: jax.Array) -> jax.Array:
         """y[d] = min over edges (s -> d) of x[s]; empty rows get +3e38.
@@ -186,8 +219,9 @@ class EdgeEngine:
         """
         return self.smin_dev(self.dev, x)
 
-    def smin_dev(self, dev, x: jax.Array) -> jax.Array:
-        return self.apply_dev(dev, x, reduce="min")
+    def smin_dev(self, dev, x: jax.Array,
+                 internal: bool = False) -> jax.Array:
+        return self.apply_dev(dev, x, reduce="min", internal=internal)
 
     def smin_int(self, x: jax.Array) -> jax.Array:
         """y[d] = min over edges (s -> d) of int32 x[s]; empty rows get
@@ -195,16 +229,22 @@ class EdgeEngine:
         path beyond f32's 2**24 (one int32 pipeline end to end)."""
         return self.smin_int_dev(self.dev, x)
 
-    def smin_int_dev(self, dev, x: jax.Array) -> jax.Array:
+    def smin_int_dev(self, dev, x: jax.Array,
+                     internal: bool = False) -> jax.Array:
         from graph_tpu.engine.kernels import IMAX
 
         p = self.plan
-        xp = jnp.full(p.nx, IMAX, jnp.int32).at[: p.n].set(x)
+        if not internal and "perm" in dev:
+            x = permute(dev["perm"], x)
+        xp = jnp.full(p.nx, IMAX, jnp.int32).at[: p.nsrc].set(x)
         contrib = self._k1(dev, xp)
         y_mids = k2_reduce(contrib, dev["wa"], dev["wb"], dev["sstart"],
                            dev["wa2"], dev["wb2"], dev["sec_mid"], p.nmid,
                            op="imin", interpret=self.interpret)
-        return y_mids.reshape(-1)[: p.n]
+        y = y_mids.reshape(-1)[: p.n]
+        if not internal and "perm" in dev:
+            y = permute(dev["iperm"], y)
+        return y
 
 
 

@@ -104,7 +104,7 @@ def _load_layout():
         lib.gt_build_layout.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
         ]
         lib.gt_layout_free.argtypes = [ctypes.POINTER(_GtLayout)]
         _layout_lib = lib
@@ -115,9 +115,10 @@ def _load_layout():
 
 
 def build_layout_native(src, dst, values=None, n=0, win: int = 0,
-                        nslices: int = 0, nthreads: int = 0):
+                        nslices: int = 0, n_src: int = 0, nthreads: int = 0):
     """Sort + slot-stream layout in C++ (win=0 auto-selects the K1
-    gather window). Returns dict of arrays or None."""
+    gather window; n_src=0 means the gather domain equals ``n``).
+    Returns dict of arrays or None."""
     lib = _load_layout()
     if lib is None:
         return None
@@ -134,7 +135,7 @@ def build_layout_native(src, dst, values=None, n=0, win: int = 0,
         dst.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         vptr, ctypes.c_int64(src.size), ctypes.c_int64(n),
         ctypes.c_int64(win), ctypes.c_int64(nslices),
-        ctypes.c_int(nthreads))
+        ctypes.c_int64(n_src), ctypes.c_int(nthreads))
     L = Lp.contents
     ns = L.nslots
     out = {

@@ -67,8 +67,24 @@ class EdgePlan:
     wa2: np.ndarray      # (nsec*512, 128) uint16 route 2 (bit15: present)
     wb2: np.ndarray      # (nsec*512, 128) uint16
     sec_mid: np.ndarray  # (nsec,) int32
+    # degree relabel (optional): the plan was built on perm[src]->perm[dst]
+    # and its spmv/smin operate in relabeled space; perm maps ORIGINAL
+    # node id -> internal id (descending out-degree).  Hot sources then
+    # share K1 gather windows, so the per-block window classes collapse
+    # to few scan rows where the edges are (see engine._k1_classes).
+    perm: "np.ndarray | None" = None  # (n,) int32 or None
+    # rectangular plans (optional): gather domain size when it differs
+    # from the reduce domain ``n`` — the row-block sharded engine
+    # gathers from a (P*H,) halo buffer while reducing into its own
+    # rows_per destinations.  0 means square (n_src == n).
+    n_src: int = 0
 
-    FORMAT_VERSION = 4  # v4: per-plan nslices (block-span budget);
+    @property
+    def nsrc(self) -> int:
+        return self.n_src or self.n
+
+    FORMAT_VERSION = 5  # v5: optional degree-relabel perm;
+    # v4: per-plan nslices (block-span budget);
     # v3: uint16 sb/border (SMEM prefetch limit at scale 24+);
     # v2: compaction replaced by route 2
 
@@ -80,13 +96,16 @@ class EdgePlan:
             path,
             __header__=np.array([self.n, self.m, self.nslots, self.nmid,
                                  self.nsec, self.nx, self.FORMAT_VERSION,
-                                 self.win, self.nslices], np.int64),
+                                 self.win, self.nslices, self.n_src],
+                                np.int64),
             widx=self.widx, sb=self.sb, ws=self.ws,
             border=self.border,
             weights=(np.zeros(0, np.float32) if self.weights is None
                      else self.weights),
             wa=self.wa, wb=self.wb, sstart=self.sstart,
             wa2=self.wa2, wb2=self.wb2, sec_mid=self.sec_mid,
+            perm=(np.zeros(0, np.int32) if self.perm is None
+                  else self.perm),
         )
 
     @staticmethod
@@ -99,6 +118,7 @@ class EdgePlan:
                 f"{int(h[6]) if h.size > 6 else 1} != "
                 f"{EdgePlan.FORMAT_VERSION}; rebuild the plan")
         w = z["weights"]
+        perm = z["perm"] if "perm" in z.files else np.zeros(0, np.int32)
         return EdgePlan(
             n=int(h[0]), m=int(h[1]), nslots=int(h[2]), nmid=int(h[3]),
             nsec=int(h[4]), nx=int(h[5]), win=int(h[7]),
@@ -108,6 +128,8 @@ class EdgePlan:
             weights=None if w.size == 0 else w,
             wa=z["wa"], wb=z["wb"], sstart=z["sstart"],
             wa2=z["wa2"], wb2=z["wb2"], sec_mid=z["sec_mid"],
+            perm=None if perm.size == 0 else perm,
+            n_src=int(h[9]) if h.size > 9 else 0,
         )
 
     def device_arrays(self):
@@ -127,6 +149,11 @@ class EdgePlan:
             "wb2": jnp.asarray(self.wb2),
             "sec_mid": jnp.asarray(self.sec_mid),
         })
+        if self.perm is not None:
+            iperm = np.empty_like(self.perm)
+            iperm[self.perm] = np.arange(self.n, dtype=self.perm.dtype)
+            out["perm"] = jnp.asarray(self.perm)
+            out["iperm"] = jnp.asarray(iperm)
         return out
 
 
@@ -146,20 +173,27 @@ def _block_dtype(nblocks: int):
     return np.uint16 if nblocks < (1 << 16) else np.int32
 
 
-def pick_win(nslots_by_cfg) -> tuple:
+def pick_win(counts_by_cfg) -> tuple:
     """argmin over (win, nslices) configs of
-    nslots * (WIN_COST_RATIO + win/128); within 5% of the minimum,
-    prefer the fewest slots (less HBM/pad — measured a wash in time at
-    scale 22, see PERF_NOTES.md)."""
-    costs = {cfg: ns * (WIN_COST_RATIO + cfg[0] // 128)
-             for cfg, ns in nslots_by_cfg.items()}
+    ``nslots * WIN_COST_RATIO + rowcost`` where rowcost is the
+    per-BLOCK window-class scan rows actually paid (engine._k1_classes
+    runs each block at its own class, so a wide window is nearly free
+    for blocks with tight spans — the old graph-max model bought 27%
+    pad at scale 22 to shrink windows the scan never ran).  Within 5%
+    of the minimum, prefer the fewest slots (less HBM/pad).
+
+    counts_by_cfg: {(win, nslices): (nslots, rowcost)}.
+    """
+    costs = {cfg: ns * WIN_COST_RATIO + rc
+             for cfg, (ns, rc) in counts_by_cfg.items()}
     cmin = min(costs.values())
     near = [cfg for cfg, c in costs.items() if c <= cmin * 1.05]
-    return min(near, key=lambda cfg: nslots_by_cfg[cfg])
+    return min(near, key=lambda cfg: counts_by_cfg[cfg][0])
 
 
 def plan_cache_path(cache_dir: str, src, dst, n: int, values=None,
-                    tag: str = "", win: int = 0, nslices: int = 0) -> str:
+                    tag: str = "", win: int = 0, nslices: int = 0,
+                    relabel: "str | None" = None) -> str:
     """Content-addressed cache filename for a plan.
 
     Keyed on the exact edge arrays (+ values), node count, tag, the
@@ -179,6 +213,7 @@ def plan_cache_path(cache_dir: str, src, dst, n: int, values=None,
                          win or 0, nslices or 0],
                         np.int64).tobytes())
     h.update(tag.encode())
+    h.update((relabel or "").encode())
     h.update(np.ascontiguousarray(src).tobytes())
     h.update(np.ascontiguousarray(dst).tobytes())
     if values is not None:
@@ -212,7 +247,8 @@ def load_or_build_plan(
     req_win = kw.get("win") or 0
     req_nslices = kw.get("nslices") or 0
     path = plan_cache_path(cache_dir, src, dst, n, values=values,
-                           win=req_win, nslices=req_nslices)
+                           win=req_win, nslices=req_nslices,
+                           relabel=kw.get("relabel"))
     if os.path.exists(path):
         try:
             plan = EdgePlan.load(path)
@@ -246,6 +282,8 @@ def build_plan(
     colorer=None,
     win: Optional[int] = None,
     nslices: Optional[int] = None,
+    relabel: Optional[str] = None,
+    n_src: Optional[int] = None,
 ) -> EdgePlan:
     """Compile an edge list into an EdgePlan.
 
@@ -254,16 +292,38 @@ def build_plan(
     edge-coloring (native C++ implementation); defaults to the python
     one in graph_tpu.engine.route.  ``win`` pins the K1 gather window
     (power of two in WIN_CANDIDATES); None auto-selects per graph.
+
+    ``relabel="degree"`` builds the plan on an internal descending
+    out-degree node order (the TPU analog of the reference's degree
+    relabel, crates/builder/src/graph/csr.rs degree ordering): hot
+    sources cluster, so K1's per-block window classes pay few scan rows
+    where the edges are.  The engine's public ops transparently permute
+    in/out; iterative drivers use the internal space directly.
     """
     t0 = time.perf_counter()
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
     m = src.size
     nmid = max(1, -(-n // MID))
+    if n_src is not None and relabel is not None:
+        raise ValueError("relabel and n_src (rectangular plan) are exclusive")
+
+    perm = None
+    if relabel == "degree":
+        deg = np.bincount(src, minlength=n)
+        order = np.argsort(-deg, kind="stable")
+        perm = np.empty(n, np.int32)
+        perm[order] = np.arange(n, dtype=np.int32)
+        src = perm[src].astype(np.int64)
+        dst = perm[dst].astype(np.int64)
+        nmid = max(1, -(-n // MID))
+    elif relabel is not None:
+        raise ValueError(f"relabel must be None or 'degree', got {relabel!r}")
 
     if colorer is None:
         plan = _build_plan_native(src, dst, n, values, m, nmid, t0,
-                                  win=win or 0, nslices=nslices or 0)
+                                  win=win or 0, nslices=nslices or 0,
+                                  perm=perm, n_src=n_src or 0)
         if plan is not None:
             return plan
 
@@ -278,10 +338,14 @@ def build_plan(
     if win is None:
         counts = {}
         for cand in WIN_CANDIDATES:
-            counts[cand] = sum(
-                _count_slots(src_s[mid_starts[mi]:mid_starts[mi + 1]],
-                             cand[0], cand[1])
-                for mi in range(nmid))
+            tot_s = tot_r = 0
+            for mi in range(nmid):
+                s_, r_ = _count_slots(
+                    src_s[mid_starts[mi]:mid_starts[mi + 1]],
+                    cand[0], cand[1])
+                tot_s += s_
+                tot_r += r_
+            counts[cand] = (tot_s, tot_r)
         win, nslices = pick_win(counts)
     elif nslices is None:
         nslices = dict(WIN_CANDIDATES).get(win, NSLICES)
@@ -390,7 +454,7 @@ def build_plan(
             wb2[s * SEC_R:(s + 1) * SEC_R] = wb2_s
 
     nx = (max(int(sb.max()) + nslices if nblocks else nslices,
-              -(-n // SLICE) + 1)) * SLICE
+              -(-(n_src or n) // SLICE) + 1)) * SLICE
     plan = EdgePlan(
         n=n, m=m, nslots=nslots, nmid=nmid, nsec=nsec, nx=nx, win=win,
         nslices=nslices,
@@ -398,7 +462,7 @@ def build_plan(
         ws=(ws // 1024).astype(np.uint8), border=border,
         weights=None if wvals is None else wvals.reshape(-1, 128),
         wa=wa, wb=wb, sstart=sstart, wa2=wa2, wb2=wb2,
-        sec_mid=sec_mid_arr,
+        sec_mid=sec_mid_arr, perm=perm, n_src=n_src or 0,
     )
     logger.info(
         "EdgePlan: m=%d slots=%d (%.1f%% pad) mids=%d sections=%d in %.2fs",
@@ -462,19 +526,34 @@ def _layout_mid_with_dst(src, dstl, out_src, out_pad, out_dstl, slot0,
     return slot
 
 
+def _class_rows(rows: int, win: int) -> int:
+    """Per-block window class in scan rows (mirrors engine._k1_classes:
+    1024-slot granularity, i.e. multiples of 8 rows, capped at win/128)."""
+    c = max(8, -(-rows // 8) * 8)
+    return min(c, win // 128)
+
+
 def _count_slots(src_sorted, win, nslices=NSLICES):
-    """Count-only replica of :func:`_layout_mid_with_dst` for one mid."""
+    """Count-only replica of :func:`_layout_mid_with_dst` for one mid.
+
+    Returns (slots, rowcost) where rowcost sums BLK * class_rows over
+    the mid's K1 blocks — the same units the native layout reports."""
     span_budget = win - 1024
     block_span = nslices * SLICE - 1
     m_i = src_sorted.size
     cur = 0
     slot = 0
     block_first = -1
+    block_rows = 0
+    rowcost = 0
     while True:
         if cur >= m_i and slot % SEC == 0 and slot > 0:
             break
         lead = 1 if slot % SEC == 0 else 0
         if slot % BLK == 0:
+            if slot > 0:
+                rowcost += BLK * _class_rows(block_rows, win)
+                block_rows = 0
             block_first = -1
         if cur >= m_i:
             slot += TILE
@@ -490,17 +569,26 @@ def _count_slots(src_sorted, win, nslices=NSLICES):
             continue
         hi_span = min(first + span_budget, block_base + block_span)
         hi = np.searchsorted(src_sorted, hi_span, side="right")
-        cur += min(TILE - lead, hi - cur)
+        k = min(TILE - lead, hi - cur)
+        ws_t = min(((first - block_base) // 1024) * 1024,
+                   nslices * SLICE - win)
+        rows = (src_sorted[cur + k - 1] - block_base - ws_t) // 128 + 1
+        block_rows = max(block_rows, rows)
+        cur += k
         slot += TILE
-    return slot
+    if slot > 0:
+        rowcost += BLK * _class_rows(block_rows, win)
+    return slot, rowcost
 
 
-def _build_plan_native(src, dst, n, values, m, nmid, t0, win=0, nslices=0):
+def _build_plan_native(src, dst, n, values, m, nmid, t0, win=0, nslices=0,
+                       perm=None, n_src=0):
     """Full native-layout path: C++ sort+layout, C++ section routing."""
     from graph_tpu.engine.native_route import (
         build_layout_native, build_sections_native)
 
-    lay = build_layout_native(src, dst, values, n, win=win, nslices=nslices)
+    lay = build_layout_native(src, dst, values, n, win=win, nslices=nslices,
+                              n_src=n_src)
     if lay is None:
         return None
     nslots = lay["nslots"]
@@ -515,7 +603,7 @@ def _build_plan_native(src, dst, n, values, m, nmid, t0, win=0, nslices=0):
     border = np.argsort(sb, kind="stable").astype(bdt)
     nsl = lay["nslices"]
     nx = (max(int(sb.max()) + nsl if sb.size else nsl,
-              -(-n // SLICE) + 1)) * SLICE
+              -(-(n_src or n) // SLICE) + 1)) * SLICE
     sb = sb.astype(bdt)
     wvals = lay["wvals"]
     plan = EdgePlan(
@@ -529,7 +617,7 @@ def _build_plan_native(src, dst, n, values, m, nmid, t0, win=0, nslices=0):
         sstart=sstart_f.reshape(nsec * SEC_R, 128),
         wa2=wa2_f.reshape(nsec * SEC_R, 128),
         wb2=wb2_f.reshape(nsec * SEC_R, 128),
-        sec_mid=sec_mid_arr,
+        sec_mid=sec_mid_arr, perm=perm, n_src=n_src,
     )
     logger.info(
         "EdgePlan (native): m=%d slots=%d (%.1f%% pad) mids=%d sections=%d "

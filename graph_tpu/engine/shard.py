@@ -20,6 +20,8 @@ traffic replaced by an explicit ICI all-reduce.
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 
 import jax
@@ -87,7 +89,9 @@ class ShardedEdgeEngine:
             plans.append(build_plan(src[lo:hi], dst[lo:hi], n, values=v,
                                     win=w, nslices=ns))
         nsec = max(p.nsec for p in plans)
-        plans = [_pad_plan(p, nsec) for p in plans]
+        nx = max(p.nx for p in plans)  # the template's nx must cover all
+        plans = [dataclasses.replace(_pad_plan(p, nsec), nx=nx)
+                 for p in plans]
         engines = [EdgeEngine(p, interpret=interpret) for p in plans]
         return cls(engines, mesh, axis=axis, interpret=interpret)
 
@@ -115,6 +119,165 @@ class ShardedEdgeEngine:
 
     def relax(self, dist):
         return self._sharded("relax_dev")(self.dev_stacked, dist)
+
+
+class RowBlockEdgeEngine:
+    """Row-block (destination-partitioned) sharded EdgeEngine.
+
+    The round-2 ``ShardedEdgeEngine`` partitions by edge ranges with a
+    replicated x and a full n-sized psum per iteration; this engine is
+    the SURVEY §7 phase-4 design: each device owns ``rows_per`` node
+    rows and the in-edges pointing at them, exchanges only the ragged
+    boundary segments over ICI (:mod:`graph_tpu.parallel.halo`), and
+    runs the K1/K2 Pallas kernels on a plan whose gather side indexes
+    the halo buffer directly (a *rectangular* plan: n = rows_per
+    destinations, n_src = P*H halo positions).  Destinations are owned
+    by exactly one device, so there is no output collective at all —
+    per-destination int32 fixed-point sums are bit-identical to the
+    single-device engine.
+
+    The halo buffer is also an active-source compression: each chip
+    gathers from a dense list of the sources it actually references,
+    so K1 window classes collapse like a degree relabel does.
+    """
+
+    def __init__(self, engines, send_idx, mesh: Mesh, axis: str,
+                 rows_per: int, node_count: int, interpret: bool = False,
+                 halo_bytes: int = 0, gather_bytes: int = 0):
+        assert len(engines) == len(mesh.devices.flat)
+        self.mesh = mesh
+        self.axis = axis
+        self.rows_per = rows_per
+        self.node_count = node_count
+        self.halo_bytes = halo_bytes
+        self.gather_bytes = gather_bytes
+        self.template = engines[0]
+        self.template.interpret = interpret
+        win = self.template.plan.win
+        nslices = self.template.plan.nslices
+        for e in engines:
+            if e.plan.win != win or e.plan.nslices != nslices:
+                raise ValueError(
+                    "all row-block plans must share (win, nslices); build "
+                    "them via RowBlockEdgeEngine.build")
+            e.k1_wins = [win]
+            e.dev = {k: v for k, v in e.dev.items()
+                     if not (k.startswith("border") and k != "border")}
+            e.dev[f"border{win}"] = e.dev["border"]
+        devs = [e.dev for e in engines]
+        self.dev_stacked = {
+            k: jnp.stack([d[k] for d in devs]) for k in devs[0]
+        }
+        # (P, P, H): what each chip sends to each peer, local row ids
+        self.dev_stacked["send_idx"] = jnp.asarray(send_idx)
+        self._place()
+
+    def _place(self):
+        """Shard the stacked plan arrays along the leading device axis."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(self.mesh, P(self.axis))
+        self.dev_stacked = {
+            k: jax.device_put(v, sh) for k, v in self.dev_stacked.items()
+        }
+
+    @classmethod
+    def build(cls, src, dst, n, mesh: Mesh, values=None,
+              axis: str = "nodes", interpret: bool = False):
+        """Partition by destination row block and compile the halo."""
+        from graph_tpu.parallel.halo import build_halo
+
+        src = np.asarray(src)
+        dst = np.asarray(dst)
+        P_ = len(mesh.devices.flat)
+        rows_per = -(-n // P_)
+        owner = dst // rows_per
+        order = np.argsort(owner, kind="stable")
+        src_s, dst_s = src[order], dst[order]
+        val_s = None if values is None else np.asarray(values)[order]
+        starts = np.searchsorted(owner[order], np.arange(P_ + 1))
+        counts = np.diff(starts)
+        m_pad = max(int(counts.max()), 1)
+        # build_halo wants the (P, m_pad) matrix of GLOBAL source ids
+        tgt = np.zeros((P_, m_pad), dtype=src_s.dtype)
+        for p in range(P_):
+            tgt[p, : counts[p]] = src_s[starts[p]:starts[p + 1]]
+        halo = build_halo(tgt, counts, rows_per)
+        n_src = P_ * halo.H
+
+        plans = []
+        for p in range(P_):
+            lo, hi = starts[p], starts[p + 1]
+            v = None if val_s is None else val_s[lo:hi]
+            w = None if p == 0 else plans[0].win
+            ns = None if p == 0 else plans[0].nslices
+            plans.append(build_plan(
+                halo.tgt_remap[p, : counts[p]].astype(np.int64),
+                (dst_s[lo:hi] - p * rows_per).astype(np.int64),
+                rows_per, values=v, win=w, nslices=ns, n_src=n_src))
+        nsec = max(p_.nsec for p_ in plans)
+        nx = max(p_.nx for p_ in plans)  # template's nx pads x for all
+        plans = [dataclasses.replace(_pad_plan(p_, nsec), nx=nx)
+                 for p_ in plans]
+        engines = [EdgeEngine(p_, interpret=interpret) for p_ in plans]
+        return cls(engines, halo.send_idx, mesh, axis, rows_per, n,
+                   interpret=interpret, halo_bytes=halo.halo_bytes,
+                   gather_bytes=halo.gather_bytes)
+
+    # -- building blocks for drivers (used inside their shard_map loops)
+
+    def local_dev(self, dev_stacked):
+        """Strip the leading shard axis inside ``shard_map``."""
+        return {k: v[0] for k, v in dev_stacked.items() if k != "send_idx"}
+
+    def local_apply(self, dev_local, halo_values, *, combine="none",
+                    reduce="sum"):
+        """One local edge-map-reduce over this chip's rows.
+
+        halo_values: (P*H,) the exchanged halo buffer (see
+        parallel.halo.exchange); returns (rows_per,) local y.
+        """
+        return self.template.apply_dev(dev_local, halo_values,
+                                       combine=combine, reduce=reduce)
+
+    # -- one-shot sharded ops (x and y are global row-sharded vectors)
+
+    def _run(self, fn_name, x, **kw):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from graph_tpu.parallel.halo import exchange
+
+        tpl = self.template
+        axis = self.axis
+        n_pad = self.rows_per * len(self.mesh.devices.flat)
+        fill = {"spmv_dev": 0.0, "smin_dev": 3.0e38,
+                "relax_dev": 3.0e38}[fn_name]
+        xp = jnp.full((n_pad,), fill, jnp.float32).at[: self.node_count].set(x)
+
+        def run(dev_stacked, xs):
+            dev = self.local_dev(dev_stacked)
+            halo = exchange(xs[0], dev_stacked["send_idx"][0], axis)
+            y = getattr(tpl, fn_name)(dev, halo, **kw)
+            return y[None]
+
+        mapped = shard_map(
+            run, mesh=self.mesh,
+            in_specs=({k: P(axis) for k in self.dev_stacked}, P(axis)),
+            out_specs=P(axis), check_vma=False)
+        y = mapped(self.dev_stacked, xp.reshape(len(self.mesh.devices.flat),
+                                                self.rows_per))
+        return y.reshape(-1)[: self.node_count]
+
+    def spmv(self, x):
+        """y = A^T x with x/y row-sharded; bit-identical to the
+        single-device engine (per-destination sums are device-local)."""
+        return self._run("spmv_dev", x)
+
+    def smin(self, x):
+        return self._run("smin_dev", x)
+
+    def relax(self, dist):
+        return self._run("relax_dev", dist)
 
 
 def _pad_plan(plan, nsec):

@@ -44,19 +44,37 @@ struct Layout {
     int32_t* sb;        // nslots / BLK
 };
 
+// Round the per-block max scan rows up to its window class (multiples
+// of 8 rows = 1024-slot window granularity, capped at win/128) —
+// mirrors engine._k1_classes: each block only pays its own class's
+// unrolled window-row scan.
+int64_t class_rows(int64_t rows, int64_t win) {
+    int64_t c = (rows + 7) / 8 * 8;
+    if (c < 8) c = 8;  // minimum window 1024 -> 8 rows
+    int64_t cap = win / 128;
+    return c < cap ? c : cap;
+}
+
 // Greedy layout of one mid (edges sorted by src). Two modes: count-only
-// (out == nullptr) and fill.
+// (out == nullptr; optionally accumulates the window-class scan-row
+// cost into *rowcost — units: slots x rows, comparable with
+// WIN_COST_RATIO * nslots) and fill.
 int64_t layout_mid(const int64_t* src, const int64_t* dstl, const float* val,
                    int64_t m_i, int64_t slot0, Layout* out, int64_t win,
-                   int64_t nslices) {
+                   int64_t nslices, int64_t* rowcost = nullptr) {
     const int64_t span_budget = win - 1024;
     const int64_t block_span = nslices * SLICE - 1;
     int64_t cur = 0;
     int64_t slot = slot0;
     int64_t block_first = -1;
+    int64_t block_rows = 0;  // max scan rows of any tile in this block
     for (;;) {
         if (cur >= m_i && slot % SEC == 0 && slot > slot0) break;
         int lead = (slot % SEC == 0) ? 1 : 0;
+        if (slot % BLK == 0 && slot > slot0 && rowcost) {
+            *rowcost += BLK * class_rows(block_rows, win);
+            block_rows = 0;
+        }
         if (slot % BLK == 0) block_first = -1;
         int64_t t = slot / TILE;
         int64_t b = slot / BLK;
@@ -104,6 +122,14 @@ int64_t layout_mid(const int64_t* src, const int64_t* dstl, const float* val,
         int64_t k = lo - cur;
         int64_t cap = TILE - lead;
         if (k > cap) k = cap;
+        if (!out && rowcost) {
+            int64_t first_local = first - block_base;
+            int64_t ws_t = (first_local / 1024) * 1024;
+            int64_t wmax = nslices * SLICE - win;
+            if (ws_t > wmax) ws_t = wmax;
+            int64_t rows = (src[cur + k - 1] - block_base - ws_t) / 128 + 1;
+            if (rows > block_rows) block_rows = rows;
+        }
         if (out) {
             int64_t base = block_base;
             int64_t first_local = first - base;
@@ -127,6 +153,8 @@ int64_t layout_mid(const int64_t* src, const int64_t* dstl, const float* val,
         cur += k;
         slot += TILE;
     }
+    if (rowcost && slot > slot0)  // flush the last block
+        *rowcost += BLK * class_rows(block_rows, win);
     return slot;
 }
 
@@ -147,16 +175,20 @@ struct GtLayout {
     int32_t* sec_mid;
 };
 
-// src/dst: (m,) int64; values: (m,) float or nullptr; n: node count.
+// src/dst: (m,) int64; values: (m,) float or nullptr; n: node count
+// of the reduce (dst) domain; n_src: gather-domain size for
+// rectangular plans (0 = square, n_src == n).
 // Sorts by (mid, src) internally (radix), lays out slots, returns a
 // malloc'd GtLayout (free with gt_layout_free).
 // win == 0 selects the window automatically (count slots per candidate,
 // pick the cost-model argmin).
 GtLayout* gt_build_layout(const int64_t* src, const int64_t* dst,
                           const float* values, int64_t m, int64_t n,
-                          int64_t win, int64_t nslices, int nthreads) {
+                          int64_t win, int64_t nslices, int64_t n_src,
+                          int nthreads) {
     int64_t nmid = (n + MID - 1) / MID;
     if (nmid < 1) nmid = 1;
+    if (n_src <= 0) n_src = n;
 
     // ---- stable sort edge ids by (mid, src): LSD radix over src
     // (3 x 11-bit passes cover src < 2^33) then counting by mid.
@@ -164,7 +196,7 @@ GtLayout* gt_build_layout(const int64_t* src, const int64_t* dst,
     for (int64_t i = 0; i < m; i++) ids[i] = i;
     {
         int src_bits = 1;
-        while ((n - 1) >> src_bits) src_bits++;
+        while ((n_src - 1) >> src_bits) src_bits++;
         for (int shift = 0; shift < src_bits; shift += 11) {
             std::vector<int64_t> cnt(2049, 0);
             for (int64_t i = 0; i < m; i++)
@@ -201,6 +233,8 @@ GtLayout* gt_build_layout(const int64_t* src, const int64_t* dst,
         int ncand = win ? 1 : 4;
         std::vector<std::vector<int64_t>> counts(
             ncand, std::vector<int64_t>(nmid));
+        std::vector<std::vector<int64_t>> rowcosts(
+            ncand, std::vector<int64_t>(nmid, 0));
         std::atomic<int64_t> next{0};
         auto worker = [&]() {
             for (;;) {
@@ -213,7 +247,8 @@ GtLayout* gt_build_layout(const int64_t* src, const int64_t* dst,
                     counts[c][mi] = layout_mid(src_s.data() + lo,
                                                dstl_s.data() + lo, nullptr,
                                                mid_start[mi + 1] - lo, 0,
-                                               nullptr, w, ns);
+                                               nullptr, w, ns,
+                                               &rowcosts[c][mi]);
                 }
             }
         };
@@ -221,11 +256,20 @@ GtLayout* gt_build_layout(const int64_t* src, const int64_t* dst,
         for (int t = 0; t < nthreads; t++) pool.emplace_back(worker);
         for (auto& th : pool) th.join();
         if (!win) {
+            // cost = fixed per-slot work + the per-BLOCK window-class
+            // scan rows actually paid (engine._k1_classes), not the
+            // graph-max window — a wide window is nearly free for
+            // blocks with tight spans, so pad is no longer bought to
+            // shrink windows the scan never runs.
             int64_t cost[4], nsl[4], cmin = -1;
             for (int c = 0; c < ncand; c++) {
                 nsl[c] = 0;
-                for (int64_t mi = 0; mi < nmid; mi++) nsl[c] += counts[c][mi];
-                cost[c] = nsl[c] * (WIN_COST_RATIO + WIN_CANDIDATES[c] / 128);
+                int64_t rc = 0;
+                for (int64_t mi = 0; mi < nmid; mi++) {
+                    nsl[c] += counts[c][mi];
+                    rc += rowcosts[c][mi];
+                }
+                cost[c] = nsl[c] * WIN_COST_RATIO + rc;
                 if (cmin < 0 || cost[c] < cmin) cmin = cost[c];
             }
             // within 5% of the minimum, prefer fewest slots (less pad)

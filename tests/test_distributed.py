@@ -229,3 +229,23 @@ def test_mesh_key_stable_across_objects(graph):
     with use_mesh(m2):
         page_rank(graph, PageRankConfig(max_iterations=3))
     assert len(_GRAPH_ENGINES) == n_entries  # reused, not re-sharded
+
+
+def test_rowblock_pagerank_matches_single(graph, mesh):
+    """The plan-kernel sharded path (RowBlockEdgeEngine behind the
+    ragged halo) must agree with the single-device result; per-chip
+    kernels are the same K1/K2 the unsharded engine runs."""
+    from graph_tpu.parallel.pagerank import (
+        page_rank_rowblock, shard_graph_plan)
+
+    cfg = PageRankConfig(max_iterations=30, tolerance=1e-6)
+    single = page_rank(graph, cfg)
+    rbe = shard_graph_plan(graph, mesh, interpret=True)
+    sharded = page_rank_rowblock(rbe, cfg)
+    assert sharded.ran_iterations == single.ran_iterations
+    np.testing.assert_allclose(
+        sharded.scores_np(), single.scores_np(), atol=1e-6)
+    # compiled run is cached per (engine, max_iterations)
+    again = page_rank_rowblock(rbe, cfg)
+    assert rbe._pr_runs and len(rbe._pr_runs) == 1
+    np.testing.assert_array_equal(again.scores_np(), sharded.scores_np())

@@ -461,3 +461,65 @@ def test_sharded_engine_rejects_mixed_windows():
     e1, e2 = EdgeEngine(p1, interpret=True), EdgeEngine(p2, interpret=True)
     with pytest.raises(ValueError, match="win"):
         ShardedEdgeEngine([e1, e2], mesh, interpret=True)
+
+
+def test_degree_relabel_engine_matches_plain():
+    """relabel="degree" must be semantics-invisible at the public
+    surface: spmv / smin_int / relax agree with the unrelabeled engine
+    (fixed-point sums match the host quanta model either way)."""
+    import jax.numpy as jnp
+
+    from graph_tpu.engine.engine import EdgeEngine
+
+    n, m = 3000, 18000
+    src, dst = _random_graph(n, m, seed=95)
+    w = (np.random.default_rng(9).random(m) * 3).astype(np.float32)
+    plain = EdgeEngine.build(src, dst, n, values=w, interpret=True)
+    deg = EdgeEngine.build(src, dst, n, values=w, interpret=True,
+                           relabel="degree")
+    assert deg.plan.perm is not None and "perm" in deg.dev
+
+    rng_ = np.random.default_rng(4)
+    x = (rng_.random(n) * 1e-4).astype(np.float32)
+    # spmv: both must equal the exact host fixed-point model
+    q = np.round((x[src] * np.float32(1 << 30)).astype(np.float32))
+    acc = np.zeros(n, np.int64)
+    np.add.at(acc, dst, q.astype(np.int64))
+    y_exp = acc.astype(np.int32).astype(np.float32) / np.float32(1 << 30)
+    np.testing.assert_array_equal(np.asarray(plain.spmv(jnp.asarray(x))),
+                                  y_exp)
+    np.testing.assert_array_equal(np.asarray(deg.spmv(jnp.asarray(x))),
+                                  y_exp)
+
+    xi = rng_.integers(0, 1 << 30, n).astype(np.int32)
+    np.testing.assert_array_equal(
+        np.asarray(deg.smin_int(jnp.asarray(xi))),
+        np.asarray(plain.smin_int(jnp.asarray(xi))))
+
+    dist = (rng_.random(n) * 50).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(deg.relax(jnp.asarray(dist))),
+        np.asarray(plain.relax(jnp.asarray(dist))))
+
+    # internal-space round trip equals the public path
+    from graph_tpu.engine.engine import permute
+    import jax
+
+    xr = jax.jit(lambda k, v: permute(k, v))(deg.dev["perm"], jnp.asarray(x))
+    yr = deg.spmv_dev(deg.dev, xr, internal=True)
+    y = jax.jit(lambda k, v: permute(k, v))(deg.dev["iperm"], yr)
+    np.testing.assert_array_equal(np.asarray(y), y_exp)
+
+
+def test_plan_v5_roundtrip_with_perm(tmp_path):
+    from graph_tpu.engine.plan import EdgePlan, build_plan
+
+    n, m = 2000, 9000
+    src, dst = _random_graph(n, m, seed=96)
+    p = build_plan(src, dst, n, relabel="degree")
+    assert p.perm is not None
+    path = str(tmp_path / "p.npz")
+    p.save(path)
+    p2 = EdgePlan.load(path)
+    assert np.array_equal(p2.perm, p.perm)
+    assert p2.win == p.win and p2.nslots == p.nslots
