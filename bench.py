@@ -108,6 +108,33 @@ def exactness_gate(eng, src, dst, n):
           file=sys.stderr)
 
 
+#: Cross-round cache for generated edge lists and compiled plans: the
+#: 1-CPU host pays ~3-20 min of RMAT generation at scales 22-24 and
+#: minutes of plan build per run otherwise (VERDICT round-2 weak #5).
+BENCH_CACHE = os.environ.get("GRAPH_TPU_BENCH_CACHE",
+                             os.path.expanduser("~/.cache/graph_tpu"))
+PLAN_CACHE = os.environ.get("GRAPH_TPU_PLAN_CACHE",
+                            os.path.join(BENCH_CACHE, "plans"))
+
+
+def cached_rmat(scale, edge_factor=16, seed=42):
+    """host_rmat with a content-keyed disk cache (same seed stream)."""
+    path = os.path.join(BENCH_CACHE, f"rmat_s{scale}_{seed}.npz")
+    try:
+        if os.path.exists(path):
+            z = np.load(path)
+            return z["src"], z["dst"]
+    except Exception:
+        pass
+    src, dst = host_rmat(scale, edge_factor, seed)
+    try:
+        os.makedirs(BENCH_CACHE, exist_ok=True)
+        np.savez(path, src=src, dst=dst)
+    except OSError:
+        pass
+    return src, dst
+
+
 def _timed(fn, *args, reps=3):
     import numpy as np
 
@@ -134,12 +161,13 @@ def bench_all():
     # ---- PageRank + WCC share the scale-SCALE RMAT graph
     n = 1 << SCALE
     t0 = time.perf_counter()
-    src, dst = host_rmat(SCALE)
+    src, dst = cached_rmat(SCALE)
     prep_s = time.perf_counter() - t0
     m = src.size
 
     t0 = time.perf_counter()
-    eng = EdgeEngine.build(src, dst, n, relabel="degree")
+    eng = EdgeEngine.build(src, dst, n, relabel="degree",
+                               cache_dir=PLAN_CACHE)
     pr_build_s = time.perf_counter() - t0
     exactness_gate(eng, src, dst, n)
     outdeg = np.bincount(src, minlength=n).astype(np.float32)
@@ -180,7 +208,8 @@ def bench_all():
     # ---- WCC (min-label over the symmetrized edges)
     t0 = time.perf_counter()
     sym = EdgeEngine.build(np.concatenate([src, dst]),
-                           np.concatenate([dst, src]), n)
+                           np.concatenate([dst, src]), n,
+                           cache_dir=PLAN_CACHE)
     wcc_build_s = time.perf_counter() - t0
 
     @jax.jit
@@ -210,10 +239,11 @@ def bench_all():
     # ---- SSSP (delta-stepping-equivalent relax iteration, weighted)
     sssp_scale = int(os.environ.get("BENCH_SSSP_SCALE", "19"))
     ns = 1 << sssp_scale
-    s_src, s_dst = host_rmat(sssp_scale, seed=7)
+    s_src, s_dst = cached_rmat(sssp_scale, seed=7)
     w = np.random.default_rng(3).random(s_src.size).astype(np.float32) * 4
     t0 = time.perf_counter()
-    weng = EdgeEngine.build(s_src, s_dst, ns, values=w)
+    weng = EdgeEngine.build(s_src, s_dst, ns, values=w,
+                            cache_dir=PLAN_CACHE)
     sssp_build_s = time.perf_counter() - t0
 
     @jax.jit
@@ -246,7 +276,7 @@ def bench_all():
     from graph_tpu.graph.build import build_undirected
     from graph_tpu.graph.csr import CsrLayout
 
-    t_src, t_dst = host_rmat(tc_scale)
+    t_src, t_dst = cached_rmat(tc_scale)
     t0 = time.perf_counter()
     g = build_undirected(jnp.asarray(t_src), jnp.asarray(t_dst),
                          node_count=1 << tc_scale,
@@ -279,15 +309,29 @@ def main():
     if os.environ.get("BENCH_ALL"):
         return bench_all()
 
-    n = 1 << SCALE
-    src, dst = host_rmat(SCALE)
-    m = src.size
+    dataset = os.environ.get("BENCH_DATASET")
+    if dataset:
+        # real LDBC dataset (e.g. BENCH_DATASET=graph500-22) dropped
+        # into $GRAPH_TPU_DATASETS — same pipeline the reference
+        # benches use after their download step
+        from graph_tpu.io.datasets import graph500_path
+
+        scale = int(dataset.rsplit("-", 1)[1])
+        edges = np.loadtxt(graph500_path(scale), dtype=np.int64)
+        src, dst = edges[:, 0], edges[:, 1]
+        n = int(max(src.max(), dst.max())) + 1
+        m = src.size
+    else:
+        n = 1 << SCALE
+        src, dst = cached_rmat(SCALE)
+        m = src.size
 
     if ENGINE == "plan":
         from graph_tpu.engine.engine import EdgeEngine, permute
 
         t0 = time.perf_counter()
-        eng = EdgeEngine.build(src, dst, n, relabel="degree")
+        eng = EdgeEngine.build(src, dst, n, relabel="degree",
+                           cache_dir=PLAN_CACHE)
         build_s = time.perf_counter() - t0
         print(f"# plan build {build_s:.1f}s, win {eng.plan.win}, pad "
               f"{100*(eng.plan.nslots-m)/eng.plan.nslots:.1f}%", file=sys.stderr)
@@ -349,8 +393,9 @@ def main():
 
     gteps = m * ITERS / best / 1e9
     roofline = detect_bw() / BYTES_PER_EDGE / 1e9
+    name = dataset if dataset else f"rmat_scale{SCALE}"
     print(json.dumps({
-        "metric": f"pagerank_gteps_rmat_scale{SCALE}_per_chip",
+        "metric": f"pagerank_gteps_{name}_per_chip",
         "value": round(gteps, 4),
         "unit": "GTEPS",
         "vs_baseline": round(gteps / roofline, 4),

@@ -62,6 +62,10 @@ class PageRankConfig:
     tolerance: float = 1e-4
     damping_factor: float = 0.85
     engine: str = "auto"
+    #: Log error + time per iteration like the reference app
+    #: (page_rank.rs:98-103).  Trades the device-resident while_loop for
+    #: one host sync per iteration — observability, not the fast path.
+    log_progress: bool = False
 
     DEFAULT_MAX_ITERATIONS = 20
     DEFAULT_TOLERANCE = 1e-4
@@ -163,6 +167,8 @@ def page_rank(
     if engine == "auto":
         engine = ("plan" if graph.edge_count >= (1 << 21)
                   and jax.default_backend() == "tpu" else "cumsum")
+    if config.log_progress:
+        return _page_rank_logged(graph, config, engine)
     if engine == "plan":
         return _page_rank_plan(graph, config)
     start = time.perf_counter()
@@ -254,6 +260,81 @@ def _page_rank_meshed(graph, config, mesh) -> PageRankResult:
     sg = engine_for(graph, ("sharded-pull",) + mesh_key(mesh),
                     lambda: shard_graph(graph, mesh))
     return page_rank_sharded(sg, mesh, config)
+
+
+def _page_rank_logged(graph, config, engine: str) -> PageRankResult:
+    """Per-iteration observability mode (``config.log_progress``).
+
+    One jitted step per iteration with a host-synced residual, logging
+    error and time exactly like the reference app's per-iteration lines
+    (crates/algos/src/page_rank.rs:98-103: "Finished iteration {} with
+    an error of {} in {:?}").  Any engine; results match the
+    device-resident loop bit-for-bit (same step function).
+    """
+    n = graph.node_count
+    outdeg = graph.out_degrees().astype(jnp.float32)
+    inv_outdeg = jnp.where(outdeg > 0, 1.0 / jnp.maximum(outdeg, 1.0), 0.0)
+    damping = jnp.float32(config.damping_factor)
+
+    dev = None
+    relabeled = False
+    if engine == "plan":
+        from graph_tpu.engine.engine import permute
+
+        eng = _graph_engine(graph)
+        dev = eng.dev
+        relabeled = "perm" in dev
+        if relabeled:
+            inv_outdeg = jax.jit(permute)(dev["perm"], inv_outdeg)
+
+        @jax.jit
+        def step(dev, inv_outdeg, scores, out_scores, damping):
+            y = eng.spmv_dev(dev, out_scores, internal=True)
+            new = (1.0 - damping) / jnp.float32(n) + damping * y
+            err = jnp.sum(jnp.abs(new - scores))
+            return new, new * inv_outdeg, err
+
+        step_args = lambda s, o: (dev, inv_outdeg, s, o, damping)  # noqa: E731
+    else:
+        srcs, tgts, offs = (graph.csr_in.sources, graph.csr_in.targets,
+                            graph.csr_in.offsets)
+
+        @functools.partial(jax.jit, static_argnames=("eng_kind",))
+        def step(srcs, tgts, offs, inv_outdeg, scores, out_scores, damping,
+                 eng_kind="cumsum"):
+            contrib = out_scores[tgts]
+            if eng_kind == "cumsum":
+                sums = segment_sum_fixedpoint(contrib, offs, bound=1.0)
+            else:
+                sums = segment_sum_sorted(contrib, srcs, n)
+            new = (1.0 - damping) / jnp.float32(n) + damping * sums
+            err = jnp.sum(jnp.abs(new - scores))
+            return new, new * inv_outdeg, err
+
+        step_args = lambda s, o: (  # noqa: E731
+            srcs, tgts, offs, inv_outdeg, s, o, damping)
+        step = functools.partial(step, eng_kind=engine)
+
+    start = time.perf_counter()
+    scores = jnp.full((n,), 1.0 / jnp.float32(n), jnp.float32)
+    out_scores = scores * inv_outdeg
+    err = float("inf")
+    it = 0
+    while it < int(config.max_iterations) and err >= config.tolerance:
+        t0 = time.perf_counter()
+        scores, out_scores, err_dev = step(*step_args(scores, out_scores))
+        err = float(err_dev)  # host sync: the price of observability
+        it += 1
+        logger.info("PageRank iteration %d finished with an error of %.3e "
+                    "in %.3fs", it, err, time.perf_counter() - t0)
+    if engine == "plan" and relabeled:
+        from graph_tpu.engine.engine import permute
+
+        scores = permute(dev["iperm"], scores)
+    scores.block_until_ready()
+    micros = int((time.perf_counter() - start) * 1e6)
+    return PageRankResult(scores=scores, ran_iterations=it, error=err,
+                          micros=micros)
 
 
 # ---------------------------------------------------------------------------

@@ -207,7 +207,11 @@ def main(argv=None):
         from graph_tpu.algos.pagerank import PageRankConfig, page_rank
 
         g = _load(args)
-        cfg = PageRankConfig(args.max_iterations, args.tolerance, args.damping_factor)
+        # -v -v: per-iteration error/time lines, like the reference app
+        # (page_rank.rs:98-103 logs each iteration at info level)
+        cfg = PageRankConfig(args.max_iterations, args.tolerance,
+                             args.damping_factor,
+                             log_progress=args.verbose >= 2)
 
         def run():
             res = page_rank(g, cfg)

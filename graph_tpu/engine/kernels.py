@@ -207,6 +207,13 @@ def _segmented_scan(q, ss, op):
     Masked log-shift scans on full shapes: combining at distance sh is
     valid iff i - sh >= sstart[i] (positions of one segment share
     sstart) — fuzz-tested in tests/test_engine.py.
+
+    Each step's two mask compares fold into one against a precomputed
+    distance: (lane >= sh) & (lane - sh >= ls)  <=>  lane - max(ls,0)
+    >= sh, and for rows (rs_row >= 0 always) rowid - rs_row >= sh —
+    one cmp per step instead of three ops (~25% of K2's VREG work).
+    Column-127 values are fetched with a lane taa (native) instead of
+    a (512,1) slice + per-row broadcast (relayout storms, ~250ns each).
     """
     if op == "sum":
         neutral = 0
@@ -217,27 +224,25 @@ def _segmented_scan(q, ss, op):
     comb = (lambda a, b: a + b) if op == "sum" else jnp.minimum
     lane = jax.lax.broadcasted_iota(jnp.int32, (SEC_R, 128), 1)
     rowid = jax.lax.broadcasted_iota(jnp.int32, (SEC_R, 128), 0)
-    rowstart = rowid * 128
-    local_start = ss - rowstart                  # may be negative
+    local_start = ss - rowid * 128               # may be negative
+    lane_d = lane - jnp.maximum(local_start, 0)  # ok(sh) <=> lane_d >= sh
     for sh in (1, 2, 4, 8, 16, 32, 64):
         cand = pltpu.roll(q, sh, 1)
-        ok = (lane >= sh) & ((lane - sh) >= local_start)
-        q = comb(q, jnp.where(ok, cand, neutral))
+        q = comb(q, jnp.where(lane_d >= sh, cand, neutral))
     # q[r, l] = reduce over [max(sstart, r*128), r*128+l].  Row carries:
     # one masked log-shift scan over the 512 row-end values; row-level
     # segment key = the row where the segment covering THIS row's END
     # starts (same purity argument as the lane scan).
-    rv = jax.lax.broadcast_in_dim(q[:, 127], (SEC_R, 128), (0,))
-    rs_row = jax.lax.broadcast_in_dim(ss[:, 127] // 128, (SEC_R, 128), (0,))
-    run = rv
+    idx127 = jnp.full((SEC_R, 128), 127, jnp.int32)
+    run = jnp.take_along_axis(q, idx127, axis=1)
+    rs_row = jnp.take_along_axis(ss, idx127, axis=1) // 128
+    row_d = rowid - rs_row                       # ok(sh) <=> row_d >= sh
     for sh in (1, 2, 4, 8, 16, 32, 64, 128, 256):
         cand = pltpu.roll(run, sh, 0)
-        ok = (rowid >= sh) & ((rowid - sh) >= rs_row)
-        run = comb(run, jnp.where(ok, cand, neutral))
+        run = comb(run, jnp.where(row_d >= sh, cand, neutral))
     # carry into each row = previous row's inclusive scan value
     carry = pltpu.roll(run, 1, 0)
-    use_carry = (ss < rowstart) & (rowid > 0)
-    return comb(q, jnp.where(use_carry, carry, neutral))
+    return comb(q, jnp.where(local_start < 0, carry, neutral))
 
 
 def _k2_kernel(sm_ref, v_ref, wa_ref, wb_ref, ss_ref, wa2_ref, wb2_ref,

@@ -27,24 +27,10 @@ from graph_tpu import enable_compile_cache
 
 enable_compile_cache()
 
-from bench import host_rmat  # noqa: E402
+from bench import BENCH_CACHE as CACHE, cached_rmat  # noqa: E402
 from graph_tpu.engine.engine import EdgeEngine, _k1_classes  # noqa: E402
 from graph_tpu.engine.kernels import TPB, k2_reduce  # noqa: E402
 from graph_tpu.engine.plan import load_or_build_plan  # noqa: E402
-
-CACHE = os.path.expanduser("~/.cache/graph_tpu")
-
-
-def cached_rmat(scale, seed=42):
-    path = f"{CACHE}/rmat_s{scale}_{seed}.npz"
-    if os.path.exists(path):
-        z = np.load(path)
-        return z["src"], z["dst"]
-    t0 = time.perf_counter()
-    src, dst = host_rmat(scale, seed=seed)
-    print(f"rmat gen {time.perf_counter()-t0:.0f}s", flush=True)
-    np.savez(path, src=src, dst=dst)
-    return src, dst
 
 
 def timed_loop(fn, *args, label="", per=1.0):

@@ -72,3 +72,34 @@ def test_gdl_node_values():
 
     p = _Parser(_tokenize("(a { value: 42 })-->(b { value: 7 })")).parse()
     assert p.node_values == {0: 42.0, 1: 7.0}
+
+
+def test_dataset_loader_local_checksummed(tmp_path):
+    """Path-based LDBC dataset loader (reference downloads these,
+    benches/common/mod.rs:15-41; no network here): discovery, sha256
+    sidecar verification, and the missing-dataset error message."""
+    import hashlib
+
+    import pytest
+
+    from graph_tpu.errors import GraphError
+    from graph_tpu.io.datasets import graph500_path, load_graph500
+
+    root = tmp_path / "datasets"
+    d = root / "graph-500-22"
+    d.mkdir(parents=True)
+    e = d / "graph500-22.e"
+    e.write_text("0 1\n1 2\n2 0\n")
+    # without checksum: loads
+    assert graph500_path(22, str(root)) == str(e)
+    g = load_graph500(22, str(root))
+    assert g.node_count == 3 and g.edge_count == 3
+    # good checksum passes, bad one raises
+    good = hashlib.sha256(e.read_bytes()).hexdigest()
+    (d / "graph500-22.e.sha256").write_text(good + "  graph500-22.e\n")
+    assert graph500_path(22, str(root)) == str(e)
+    (d / "graph500-22.e.sha256").write_text("deadbeef\n")
+    with pytest.raises(GraphError, match="checksum mismatch"):
+        graph500_path(22, str(root))
+    with pytest.raises(GraphError, match="not found"):
+        graph500_path(23, str(root))

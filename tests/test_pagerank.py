@@ -140,3 +140,26 @@ def test_plan_engine_recompiles_for_new_damping():
     # and the 0.5-damping result actually matches an XLA run
     r2x = page_rank(graph, PageRankConfig(damping_factor=0.5, engine="cumsum"))
     np.testing.assert_allclose(r2.scores_np(), r2x.scores_np(), atol=1e-6)
+
+
+def test_log_progress_matches_device_loop(caplog):
+    """config.log_progress trades the device-resident loop for per-
+    iteration logs (reference page_rank.rs:98-103) without changing
+    the result."""
+    import logging
+
+    from graph_tpu import GraphBuilder, PageRankConfig, page_rank
+
+    g = (GraphBuilder()
+         .edges([(0, 1), (1, 2), (2, 0), (2, 1), (3, 2)])
+         .build_directed())
+    cfg = PageRankConfig(max_iterations=15, tolerance=1e-6)
+    fast = page_rank(g, cfg)
+    with caplog.at_level(logging.INFO, logger="graph_tpu.algos.pagerank"):
+        logged = page_rank(g, PageRankConfig(max_iterations=15,
+                                             tolerance=1e-6,
+                                             log_progress=True))
+    assert logged.ran_iterations == fast.ran_iterations
+    np.testing.assert_array_equal(logged.scores_np(), fast.scores_np())
+    lines = [r for r in caplog.records if "iteration" in r.message.lower()]
+    assert len(lines) == logged.ran_iterations
