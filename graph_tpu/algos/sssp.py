@@ -139,6 +139,15 @@ def delta_stepping(
     if mesh is not None:
         from graph_tpu.engine.engine import engine_for
         from graph_tpu.parallel.mesh import mesh_key
+
+        if (graph.edge_count >= (1 << 21)
+                and jax.default_backend() == "tpu"):
+            from graph_tpu.parallel.sssp import (
+                shard_weighted_graph_plan, sssp_rowblock)
+
+            rbe = engine_for(graph, ("rowblock-w",) + mesh_key(mesh),
+                             lambda: shard_weighted_graph_plan(graph, mesh))
+            return sssp_rowblock(rbe, config)
         from graph_tpu.parallel.sssp import shard_weighted_graph, sssp_sharded
 
         sg = engine_for(graph, ("sharded-weighted",) + mesh_key(mesh),

@@ -135,6 +135,15 @@ def wcc(
     if mesh is not None:
         from graph_tpu.engine.engine import engine_for
         from graph_tpu.parallel.mesh import mesh_key
+
+        if (graph.edge_count >= (1 << 21)
+                and jax.default_backend() == "tpu"):
+            from graph_tpu.parallel.wcc import (
+                shard_hook_graph_plan, wcc_rowblock)
+
+            rbe = engine_for(graph, ("rowblock-sym",) + mesh_key(mesh),
+                             lambda: shard_hook_graph_plan(graph, mesh))
+            return wcc_rowblock(rbe, config)
         from graph_tpu.parallel.wcc import shard_hook_graph, wcc_sharded
 
         sg = engine_for(graph, ("sharded-hook",) + mesh_key(mesh),

@@ -250,9 +250,11 @@ class RowBlockEdgeEngine:
         tpl = self.template
         axis = self.axis
         n_pad = self.rows_per * len(self.mesh.devices.flat)
-        fill = {"spmv_dev": 0.0, "smin_dev": 3.0e38,
-                "relax_dev": 3.0e38}[fn_name]
-        xp = jnp.full((n_pad,), fill, jnp.float32).at[: self.node_count].set(x)
+        fill, dt = {"spmv_dev": (0.0, jnp.float32),
+                    "smin_dev": (3.0e38, jnp.float32),
+                    "relax_dev": (3.0e38, jnp.float32),
+                    "smin_int_dev": (2**31 - 1, jnp.int32)}[fn_name]
+        xp = jnp.full((n_pad,), fill, dt).at[: self.node_count].set(x)
 
         def run(dev_stacked, xs):
             dev = self.local_dev(dev_stacked)
@@ -275,6 +277,9 @@ class RowBlockEdgeEngine:
 
     def smin(self, x):
         return self._run("smin_dev", x)
+
+    def smin_int(self, x):
+        return self._run("smin_int_dev", x)
 
     def relax(self, dist):
         return self._run("relax_dev", dist)

@@ -75,6 +75,79 @@ def _sssp_sharded_fn(mesh: Mesh, axis: str, rows_per: int):
         out_specs=P(axis)))
 
 
+def shard_weighted_graph_plan(graph: DirectedCsrGraph, mesh: Mesh,
+                              axis: str = NODES_AXIS,
+                              interpret: bool = False):
+    """Row-block sharded EdgeEngine over the weighted in-edges: the
+    plan-kernel analog of :func:`shard_weighted_graph` (tropical
+    relaxation runs as K1/K2 Pallas kernels behind the ragged halo)."""
+    from graph_tpu.engine.shard import RowBlockEdgeEngine
+
+    if graph.csr_out.values is None:
+        raise ValueError("sssp needs a weighted graph")
+    return RowBlockEdgeEngine.build(
+        np.asarray(graph.csr_out.sources),
+        np.asarray(graph.csr_out.targets),
+        graph.node_count, mesh,
+        values=np.asarray(graph.csr_out.values, np.float32),
+        axis=axis, interpret=interpret)
+
+
+def sssp_rowblock(rbe, config: DeltaSteppingConfig) -> SsspResult:
+    """Bellman-Ford on the row-block sharded EdgeEngine.
+
+    Bit-identical to the single-device plan engine: each destination's
+    tropical min is computed wholly on its owning chip."""
+    import time
+
+    axis = rbe.axis
+    n = rbe.node_count
+    rows_per = rbe.rows_per
+    tpl = rbe.template
+
+    run = getattr(rbe, "_sssp_run", None)
+    if run is None:
+        def shard_fn(dev_stacked, start_node):
+            dev = {k: v[0] for k, v in dev_stacked.items()
+                   if k != "send_idx"}
+            send = dev_stacked["send_idx"][0]
+            me = jax.lax.axis_index(axis)
+            local = me * rows_per + jnp.arange(rows_per, dtype=jnp.int32)
+            dist0 = jnp.where(local == start_node, 0.0,
+                              INF).astype(jnp.float32)
+
+            def cond(state):
+                return state[1]
+
+            def body(state):
+                dist, _ = state
+                halo = exchange(dist, send, axis)
+                relaxed = tpl.apply_dev(dev, halo, combine="add",
+                                        reduce="min")
+                new = jnp.minimum(dist, relaxed)
+                changed = jax.lax.psum(
+                    jnp.any(new < dist).astype(jnp.int32), axis) > 0
+                return new, changed
+
+            dist, _ = jax.lax.while_loop(cond, body,
+                                         (dist0, jnp.bool_(True)))
+            return dist[None]
+
+        run = jax.jit(shard_map(
+            shard_fn, mesh=rbe.mesh,
+            in_specs=({k: P(axis) for k in rbe.dev_stacked}, P()),
+            out_specs=P(axis), check_vma=False))
+        rbe._sssp_run = run
+
+    start = time.perf_counter()
+    dist = run(rbe.dev_stacked, jnp.int32(config.start_node))
+    dist = dist.reshape(-1)[:n]
+    dist.block_until_ready()
+    micros = int((time.perf_counter() - start) * 1e6)
+    dist = jnp.where(dist >= jnp.float32(3.0e38), jnp.float32(INF), dist)
+    return SsspResult(distances=dist, micros=micros)
+
+
 def sssp_sharded(
     sg: ShardedPullGraph,
     mesh: Mesh,

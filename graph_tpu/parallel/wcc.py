@@ -103,6 +103,88 @@ def _segment_min_by_offsets(vals: jax.Array, offsets: jax.Array, rows: int) -> j
     )
 
 
+def shard_hook_graph_plan(graph, mesh: Mesh, axis: str = NODES_AXIS,
+                          interpret: bool = False):
+    """Row-block sharded EdgeEngine over the SYMMETRIZED edges.
+
+    One engine ``smin_int`` covers both hook directions (same shape as
+    the single-device plan WCC's "sym" engine); labels stay int32 end
+    to end, so ids beyond f32's 2**24 stay exact."""
+    import numpy as np
+
+    from graph_tpu.engine.shard import RowBlockEdgeEngine
+
+    if isinstance(graph, UndirectedCsrGraph):
+        src = np.asarray(graph.csr.sources)
+        dst = np.asarray(graph.csr.targets)
+    else:
+        s = np.asarray(graph.csr_out.sources)
+        t = np.asarray(graph.csr_out.targets)
+        src = np.concatenate([s, t])
+        dst = np.concatenate([t, s])
+    return RowBlockEdgeEngine.build(src, dst, graph.node_count, mesh,
+                                    axis=axis, interpret=interpret)
+
+
+def wcc_rowblock(rbe, config: Optional[WccConfig] = None) -> WccResult:
+    """Min-label WCC on the row-block sharded EdgeEngine.
+
+    Hooks run as K1/K2 kernels behind the ragged halo; pointer jumping
+    still all-gathers the label vector (jump targets are label VALUES,
+    unknowable at build time)."""
+    import time
+
+    del config
+    from graph_tpu.parallel.halo import exchange
+
+    axis = rbe.axis
+    n = rbe.node_count
+    rows_per = rbe.rows_per
+    tpl = rbe.template
+
+    run = getattr(rbe, "_wcc_run", None)
+    if run is None:
+        def shard_fn(dev_stacked):
+            dev = {k: v[0] for k, v in dev_stacked.items()
+                   if k != "send_idx"}
+            send = dev_stacked["send_idx"][0]
+            me = jax.lax.axis_index(axis)
+            comp0 = me * rows_per + jnp.arange(rows_per, dtype=jnp.int32)
+
+            def cond(state):
+                return state[1]
+
+            def body(state):
+                comp, _, it = state
+                halo = exchange(comp, send, axis)
+                hooked = tpl.smin_int_dev(dev, halo)
+                new = jnp.minimum(comp, hooked)
+                full = jax.lax.all_gather(new, axis, tiled=True)
+                new = full[new]
+                new = full[new]
+                changed = jax.lax.psum(
+                    jnp.any(new != comp).astype(jnp.int32), axis) > 0
+                return new, changed, it + 1
+
+            comp, _, iters = jax.lax.while_loop(
+                cond, body, (comp0, jnp.bool_(True), jnp.int32(0)))
+            return comp[None], iters
+
+        run = jax.jit(shard_map(
+            shard_fn, mesh=rbe.mesh,
+            in_specs=({k: P(axis) for k in rbe.dev_stacked},),
+            out_specs=(P(axis), P()), check_vma=False))
+        rbe._wcc_run = run
+
+    start = time.perf_counter()
+    comp, iters = run(rbe.dev_stacked)
+    comp = comp.reshape(-1)[:n]
+    comp.block_until_ready()
+    micros = int((time.perf_counter() - start) * 1e6)
+    return WccResult(components=comp, ran_iterations=int(iters),
+                     micros=micros)
+
+
 @functools.lru_cache(maxsize=None)
 def _wcc_sharded_fn(mesh: Mesh, axis: str, rows_per: int):
     """Jitted sharded WCC for a fixed mesh/row-block config (memoized —

@@ -249,3 +249,32 @@ def test_rowblock_pagerank_matches_single(graph, mesh):
     again = page_rank_rowblock(rbe, cfg)
     assert rbe._pr_runs and len(rbe._pr_runs) == 1
     np.testing.assert_array_equal(again.scores_np(), sharded.scores_np())
+
+
+def test_rowblock_wcc_sssp_match_single(mesh):
+    """WCC/SSSP on the row-block sharded EdgeEngine agree exactly with
+    the single-device results (hooks/relaxations are per-chip K1/K2)."""
+    from graph_tpu.algos.sssp import DeltaSteppingConfig, delta_stepping
+    from graph_tpu.parallel.sssp import (
+        shard_weighted_graph_plan, sssp_rowblock)
+    from graph_tpu.parallel.wcc import shard_hook_graph_plan, wcc_rowblock
+
+    rng = np.random.default_rng(21)
+    n, m = 700, 4200
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    w = (rng.random(m) * 4).astype(np.float32)
+    g = build_directed(jnp.asarray(src), jnp.asarray(dst),
+                       jnp.asarray(w), node_count=n)
+
+    single_w = wcc(g)
+    rbe = shard_hook_graph_plan(g, mesh, interpret=True)
+    sharded_w = wcc_rowblock(rbe)
+    np.testing.assert_array_equal(sharded_w.components_np(),
+                                  single_w.components_np())
+
+    single_s = delta_stepping(g, DeltaSteppingConfig(0, 2.0, engine="xla"))
+    srbe = shard_weighted_graph_plan(g, mesh, interpret=True)
+    sharded_s = sssp_rowblock(srbe, DeltaSteppingConfig(0, 2.0))
+    np.testing.assert_array_equal(sharded_s.distances_np(),
+                                  single_s.distances_np())
