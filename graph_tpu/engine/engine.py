@@ -56,6 +56,78 @@ def _k1_classes(plan: EdgePlan):
     return out
 
 
+#: Candidate (lane_steps, row_steps) scan depths for K2 section classes
+#: (ascending cost; every section runs the smallest level covering its
+#: longest segment).  On RMAT the typical section's longest run is the
+#: biggest hub in its mid divided by the mid's section count — usually
+#: a few hundred to a few thousand slots (row span 2-30), far below the
+#: worst-case 2**16 the legacy kernel's 9 row steps cover.
+K2_LEVELS = ((5, 1), (7, 3), (7, 5), (7, 7), (7, 9))
+
+
+def _k2_classes(plan):
+    """Partition K2 sections by the segmented-scan depth they need.
+
+    Derived from the plan's ``sstart`` alone (no format change): a
+    section whose longest segment extends ``d`` lanes within a row and
+    spans ``r`` rows only needs ceil(log2) scan steps of each — most
+    sections need far fewer than the worst-case 7+9 steps the legacy
+    kernel unrolls.  Classes covering < 5% of sections merge upward.
+
+    Returns [(lane_steps, row_steps, section_ids)] ascending, or None
+    when a single full-depth class covers everything (legacy path).
+    """
+    from graph_tpu.engine.kernels import SEC_R
+
+    nsec = plan.nsec
+    if nsec == 0:
+        return None
+    lane_need = np.zeros(nsec, np.int64)
+    row_need = np.zeros(nsec, np.int64)
+    lane = np.arange(128)[None, None, :]
+    rowstart = (np.arange(SEC_R) * 128)[None, :, None]
+    rowid = np.arange(SEC_R)[None, :]
+    pos = (rowstart + lane)  # (1, SEC_R, 128) sorted-layout positions
+    for lo in range(0, nsec, 64):  # chunked: the temps are nsec*256KB
+        hi = min(lo + 64, nsec)
+        ss = plan.sstart[lo * SEC_R:hi * SEC_R].reshape(
+            hi - lo, SEC_R, 128).astype(np.int64)
+        # tail pads sort last and form one giant segment whose scanned
+        # value is never routed out (route 2 masks it) — exclude those
+        # positions or every section would class as full-depth
+        npad = (plan.wa[lo * SEC_R:hi * SEC_R].reshape(
+            hi - lo, SEC_R, 128) >> 15).astype(np.int64).sum(axis=(1, 2))
+        real_end = (SEC_R * 128 - (npad - 1))[:, None, None]  # keep lead
+        lane_d = lane - np.maximum(ss - rowstart, 0)
+        lane_need[lo:hi] = np.where(pos < real_end, lane_d,
+                                    0).max(axis=(1, 2))
+        # per-position row distance to its segment start: a superset of
+        # both the run-scan distance (row ends) and the carry distance
+        # for segments crossing into a partially-padded row
+        row_d = rowstart // 128 - ss // 128
+        row_need[lo:hi] = np.where(pos < real_end, row_d,
+                                   0).max(axis=(1, 2))
+    lane_steps = np.ceil(np.log2(np.maximum(lane_need, 0) + 1)).astype(int)
+    row_steps = np.ceil(np.log2(np.maximum(row_need, 0) + 1)).astype(int)
+    level = np.full(nsec, len(K2_LEVELS) - 1, np.int64)
+    for i in reversed(range(len(K2_LEVELS) - 1)):
+        l_, r_ = K2_LEVELS[i]
+        fits = (lane_steps <= l_) & (row_steps <= r_)
+        level = np.where(fits, i, level)
+    # merge sparse levels upward (dispatch overhead isn't worth it)
+    for i in range(len(K2_LEVELS) - 1):
+        if 0 < (level == i).sum() < nsec * 0.05:
+            level[level == i] = i + 1
+    out = []
+    for i in range(len(K2_LEVELS)):
+        ids = np.nonzero(level == i)[0].astype(np.int32)
+        if ids.size:
+            out.append((K2_LEVELS[i][0], K2_LEVELS[i][1], ids))
+    if len(out) == 1 and out[0][:2] == K2_LEVELS[-1]:
+        return None  # everything needs full depth: legacy single call
+    return out
+
+
 def permute(key: jax.Array, v: jax.Array) -> jax.Array:
     """out[key[i]] = v[i] via a device sort (int32 keys, ~300 Melem/s).
 
@@ -83,6 +155,10 @@ class EdgeEngine:
         for win_c, border_c in _k1_classes(plan):
             self.k1_wins.append(win_c)
             self.dev[f"border{win_c}"] = jnp.asarray(border_c)
+        self.k2_classes = _k2_classes(plan)
+        if self.k2_classes is not None:
+            for i, (_, _, ids) in enumerate(self.k2_classes):
+                self.dev[f"k2sel{i}"] = jnp.asarray(ids)
 
     def _k1(self, dev, xp, weights=None, combine="none"):
         """Chained per-window-class K1 calls (see :func:`_k1_classes`)."""
@@ -94,6 +170,26 @@ class EdgeEngine:
                 weights=weights, combine=combine,
                 out_init=contrib, interpret=self.interpret)
         return contrib
+
+    def _k2(self, dev, contrib, op):
+        """K2 reduce, chained per scan-depth class when classed."""
+        from graph_tpu.engine.kernels import IMAX, INF_BITS, SEC_R
+
+        p = self.plan
+        classes = getattr(self, "k2_classes", None)
+        if not classes or f"k2sel0" not in dev:
+            return k2_reduce(contrib, dev["wa"], dev["wb"], dev["sstart"],
+                             dev["wa2"], dev["wb2"], dev["sec_mid"], p.nmid,
+                             op=op, interpret=self.interpret)
+        fill = {"sum": 0, "imin": IMAX, "min": INF_BITS}[op]
+        y = jnp.full((p.nmid * SEC_R, 128), fill, jnp.int32)
+        for i, (ls, rs, _) in enumerate(classes):
+            y = k2_reduce(contrib, dev["wa"], dev["wb"], dev["sstart"],
+                          dev["wa2"], dev["wb2"], dev["sec_mid"], p.nmid,
+                          op=op, interpret=self.interpret,
+                          sec_sel=dev[f"k2sel{i}"], out_init=y,
+                          lane_steps=ls, row_steps=rs)
+        return y
 
     @classmethod
     def build(cls, src, dst, n, values=None, colorer=None,
@@ -186,9 +282,7 @@ class EdgeEngine:
         xp = jnp.full(p.nx, fill, jnp.float32).at[: p.nsrc].set(x)
         weights = dev.get("weights") if combine != "none" else None
         contrib = self._k1(dev, xp, weights=weights, combine=combine)
-        y_mids = k2_reduce(contrib, dev["wa"], dev["wb"], dev["sstart"],
-                           dev["wa2"], dev["wb2"], dev["sec_mid"], p.nmid,
-                           op=reduce, interpret=self.interpret)
+        y_mids = self._k2(dev, contrib, reduce)
         y = y_mids.reshape(-1)[: p.n]
         if reduce == "sum":
             y = y.astype(jnp.float32) / jnp.float32(1 << FIXED_BITS)
@@ -238,9 +332,7 @@ class EdgeEngine:
             x = permute(dev["perm"], x)
         xp = jnp.full(p.nx, IMAX, jnp.int32).at[: p.nsrc].set(x)
         contrib = self._k1(dev, xp)
-        y_mids = k2_reduce(contrib, dev["wa"], dev["wb"], dev["sstart"],
-                           dev["wa2"], dev["wb2"], dev["sec_mid"], p.nmid,
-                           op="imin", interpret=self.interpret)
+        y_mids = self._k2(dev, contrib, "imin")
         y = y_mids.reshape(-1)[: p.n]
         if not internal and "perm" in dev:
             y = permute(dev["iperm"], y)

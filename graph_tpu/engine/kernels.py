@@ -199,7 +199,11 @@ def _benes(v, wa, wb):
     return jnp.take_along_axis(v, (wa >> 7) & 127, axis=1)
 
 
-def _segmented_scan(q, ss, op):
+LANE_SHIFTS = (1, 2, 4, 8, 16, 32, 64)
+ROW_SHIFTS = (1, 2, 4, 8, 16, 32, 64, 128, 256)
+
+
+def _segmented_scan(q, ss, op, lane_steps=7, row_steps=9):
     """Segmented inclusive scan S[i] = reduce over [sstart[i], i].
 
     q: (SEC_R, 128) int32 (sum, wraparound-exact; or integer min) or
@@ -214,6 +218,12 @@ def _segmented_scan(q, ss, op):
     one cmp per step instead of three ops (~25% of K2's VREG work).
     Column-127 values are fetched with a lane taa (native) instead of
     a (512,1) slice + per-row broadcast (relayout storms, ~250ns each).
+
+    ``lane_steps``/``row_steps`` truncate the scan to the depth this
+    SECTION actually needs (per-section classes, derived at engine
+    init from the plan's sstart): a section whose longest segment fits
+    k lanes / spans r rows only pays ceil(log2) steps of each —
+    row_steps=0 skips the whole row phase including the carry.
     """
     if op == "sum":
         neutral = 0
@@ -226,9 +236,11 @@ def _segmented_scan(q, ss, op):
     rowid = jax.lax.broadcasted_iota(jnp.int32, (SEC_R, 128), 0)
     local_start = ss - rowid * 128               # may be negative
     lane_d = lane - jnp.maximum(local_start, 0)  # ok(sh) <=> lane_d >= sh
-    for sh in (1, 2, 4, 8, 16, 32, 64):
+    for sh in LANE_SHIFTS[:lane_steps]:
         cand = pltpu.roll(q, sh, 1)
         q = comb(q, jnp.where(lane_d >= sh, cand, neutral))
+    if row_steps == 0:
+        return q
     # q[r, l] = reduce over [max(sstart, r*128), r*128+l].  Row carries:
     # one masked log-shift scan over the 512 row-end values; row-level
     # segment key = the row where the segment covering THIS row's END
@@ -237,7 +249,7 @@ def _segmented_scan(q, ss, op):
     run = jnp.take_along_axis(q, idx127, axis=1)
     rs_row = jnp.take_along_axis(ss, idx127, axis=1) // 128
     row_d = rowid - rs_row                       # ok(sh) <=> row_d >= sh
-    for sh in (1, 2, 4, 8, 16, 32, 64, 128, 256):
+    for sh in ROW_SHIFTS[:row_steps]:
         cand = pltpu.roll(run, sh, 0)
         run = comb(run, jnp.where(row_d >= sh, cand, neutral))
     # carry into each row = previous row's inclusive scan value
@@ -246,7 +258,8 @@ def _segmented_scan(q, ss, op):
 
 
 def _k2_kernel(sm_ref, v_ref, wa_ref, wb_ref, ss_ref, wa2_ref, wb2_ref,
-               out_ref, *, op="sum"):
+               out_ref, *, op="sum", lane_steps=7, row_steps=9,
+               accumulate=False):
     """Per-section: route -> segmented scan -> route ends to dsts.
 
     op="sum": int32 fixed-point segment sums (wraparound-exact).
@@ -270,11 +283,12 @@ def _k2_kernel(sm_ref, v_ref, wa_ref, wb_ref, ss_ref, wa2_ref, wb2_ref,
     ss = ss_ref[:].astype(jnp.int32)
     if op == "sum":
         q = jnp.round(v * jnp.float32(1 << FIXED_BITS)).astype(jnp.int32)
-        S = _segmented_scan(q, ss, "sum")
+        S = _segmented_scan(q, ss, "sum", lane_steps, row_steps)
     elif op == "imin":
-        S = _segmented_scan(v, ss, "min")
+        S = _segmented_scan(v, ss, "min", lane_steps, row_steps)
     else:
-        S = pltpu.bitcast(_segmented_scan(v, ss, "min"), jnp.int32)
+        S = pltpu.bitcast(
+            _segmented_scan(v, ss, "min", lane_steps, row_steps), jnp.int32)
 
     # Route each destination's segment-end value to output position d;
     # bit 15 of wa2 (at OUTPUT layout) marks destinations present in
@@ -282,6 +296,31 @@ def _k2_kernel(sm_ref, v_ref, wa_ref, wb_ref, ss_ref, wa2_ref, wb2_ref,
     wa2 = wa2_ref[:].astype(jnp.int32)
     y = _benes(S, wa2, wb2_ref[:].astype(jnp.int32))
     ok = (wa2 >> 15) == 1
+
+    if accumulate is not False:
+        # class mode: ``accumulate`` is the prev-value ref (the caller's
+        # running output, aliased to this call's output and ALSO passed
+        # as an input stream — pallas does not preload out blocks, so
+        # the first visit of each mid must seed from the previous
+        # class's value explicitly; later visits of the same mid reuse
+        # the VMEM-resident block)
+        prev_ref, first = accumulate
+        if op == "sum":
+            y = jnp.where(ok, y, 0)
+
+            @pl.when(first)
+            def _():
+                out_ref[:] = prev_ref[:]
+            out_ref[:] += y
+        else:
+            absent = IMAX if op == "imin" else INF_BITS
+            y = jnp.where(ok, y, absent)
+
+            @pl.when(first)
+            def _():
+                out_ref[:] = prev_ref[:]
+            out_ref[:] = jnp.minimum(out_ref[:], y)
+        return
 
     first = (k == 0) | (sm_ref[k] != sm_ref[jnp.maximum(k - 1, 0)])
     if op == "sum":
@@ -302,7 +341,8 @@ def _k2_kernel(sm_ref, v_ref, wa_ref, wb_ref, ss_ref, wa2_ref, wb2_ref,
 
 
 def k2_reduce(contrib, wa, wb, sstart, wa2, wb2, sec_mid, nmid, *,
-              op="sum", interpret=False):
+              op="sum", interpret=False, sec_sel=None, out_init=None,
+              lane_steps=7, row_steps=9):
     """Segment-reduce contributions into per-mid y blocks.
 
     contrib: (nsec*512, 128) f32 in section order.
@@ -315,24 +355,65 @@ def k2_reduce(contrib, wa, wb, sstart, wa2, wb2, sec_mid, nmid, *,
     sec_mid: (nsec,) int32 mid of each section (prefetched; drives the
              revisited out block and the accumulator-reset flag).
     Returns (nmid*512, 128) int32; bit pattern per op (quanta / f32).
+
+    Class mode (``sec_sel`` not None): process only the listed sections
+    with a scan truncated to ``lane_steps``/``row_steps`` (the depth
+    those sections' longest segments need — engine._k2_classes), and
+    accumulate into ``out_init`` (buffer-aliased; pre-initialized by
+    the caller, chained across class calls like the K1 window classes).
     """
-    nsec = contrib.shape[0] // SEC_R
     sec_mid = sec_mid.astype(jnp.int32)
+    if sec_sel is None:
+        nsec = contrib.shape[0] // SEC_R
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,   # sec_mid
+            grid=(nsec,),
+            in_specs=[pl.BlockSpec((SEC_R, 128), lambda k, sm: (k, 0))] * 6,
+            out_specs=pl.BlockSpec((SEC_R, 128), lambda k, sm: (sm[k], 0)),
+        )
+
+        def kernel(sm_ref, v_ref, wa_ref, wb_ref, ss_ref, wa2_ref, wb2_ref,
+                   out_ref):
+            _k2_kernel(sm_ref, v_ref, wa_ref, wb_ref, ss_ref, wa2_ref,
+                       wb2_ref, out_ref, op=op)
+
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nmid * SEC_R, 128), jnp.int32),
+            interpret=interpret,
+        )(sec_mid, contrib, wa, wb, sstart, wa2, wb2)
+
+    sec_sel = sec_sel.astype(jnp.int32)
+
+    def _sec(k, sel, sm):
+        return (sel[k], 0)
+
+    def _out(k, sel, sm):
+        return (sm[sel[k]], 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,   # sec_mid
-        grid=(nsec,),
-        in_specs=[pl.BlockSpec((SEC_R, 128), lambda k, sm: (k, 0))] * 6,
-        out_specs=pl.BlockSpec((SEC_R, 128), lambda k, sm: (sm[k], 0)),
+        num_scalar_prefetch=2,   # sec_sel, sec_mid
+        grid=(sec_sel.shape[0],),
+        in_specs=[pl.BlockSpec((SEC_R, 128), _sec)] * 6
+        + [pl.BlockSpec((SEC_R, 128), _out)],
+        out_specs=pl.BlockSpec((SEC_R, 128), _out),
     )
 
-    def kernel(sm_ref, v_ref, wa_ref, wb_ref, ss_ref, wa2_ref, wb2_ref,
-               out_ref):
-        _k2_kernel(sm_ref, v_ref, wa_ref, wb_ref, ss_ref, wa2_ref, wb2_ref,
-                   out_ref, op=op)
+    def kernel(sel_ref, sm_ref, v_ref, wa_ref, wb_ref, ss_ref, wa2_ref,
+               wb2_ref, prev_ref, out_ref):
+        k = pl.program_id(0)
+        cur = sm_ref[sel_ref[k]]
+        prv = sm_ref[sel_ref[jnp.maximum(k - 1, 0)]]
+        first = (k == 0) | (cur != prv)
+        _k2_kernel(sm_ref, v_ref, wa_ref, wb_ref, ss_ref, wa2_ref,
+                   wb2_ref, out_ref, op=op, lane_steps=lane_steps,
+                   row_steps=row_steps, accumulate=(prev_ref, first))
 
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nmid * SEC_R, 128), jnp.int32),
+        input_output_aliases={8: 0},  # prev/out (after 2 prefetch + 6 in)
         interpret=interpret,
-    )(sec_mid, contrib, wa, wb, sstart, wa2, wb2)
+    )(sec_sel, sec_mid, contrib, wa, wb, sstart, wa2, wb2, out_init)

@@ -60,8 +60,10 @@ class ShardedEdgeEngine:
                     "ShardedEdgeEngine.build or pass win=/nslices=")
         for e in engines:
             e.k1_wins = [win]
+            e.k2_classes = None  # per-device class splits differ in shape
             e.dev = {k: v for k, v in e.dev.items()
-                     if not (k.startswith("border") and k != "border")}
+                     if not (k.startswith("border") and k != "border")
+                     and not k.startswith("k2sel")}
             e.dev[f"border{win}"] = e.dev["border"]
         # stack per-device plan arrays along a leading axis
         devs = [e.dev for e in engines]
@@ -161,8 +163,10 @@ class RowBlockEdgeEngine:
                     "all row-block plans must share (win, nslices); build "
                     "them via RowBlockEdgeEngine.build")
             e.k1_wins = [win]
+            e.k2_classes = None  # per-device class splits differ in shape
             e.dev = {k: v for k, v in e.dev.items()
-                     if not (k.startswith("border") and k != "border")}
+                     if not (k.startswith("border") and k != "border")
+                     and not k.startswith("k2sel")}
             e.dev[f"border{win}"] = e.dev["border"]
         devs = [e.dev for e in engines]
         self.dev_stacked = {

@@ -70,6 +70,23 @@ def segment_sum_fixedpoint(
     return seg.astype(jnp.float32) / scale
 
 
+def segment_sum_quanta(
+    data: jax.Array, offsets: jax.Array, *, bound: float = 1.0, bits: int = 30
+) -> jax.Array:
+    """:func:`segment_sum_fixedpoint` without the final dequantize.
+
+    Returns int32 quanta so partial sums over edge SUBSETS can be
+    accumulated exactly (int32 wraparound addition is associative and
+    commutative): the ppermute-ring halo exchange sums one owner-group
+    at a time and still matches the monolithic sum bit for bit.
+    """
+    scale = jnp.float32(1 << bits) / jnp.float32(bound)
+    q = jnp.round(data * scale).astype(jnp.int32)
+    c = jnp.cumsum(q)
+    c = jnp.concatenate([jnp.zeros((1,), jnp.int32), c])
+    return c[offsets[1:]] - c[offsets[:-1]]
+
+
 def segment_min_sorted(
     data: jax.Array, segment_ids: jax.Array, num_segments: int
 ) -> jax.Array:

@@ -49,6 +49,13 @@ class ShardedPullGraph:
     edge_count: int
     halo_bytes: int = 0
     gather_bytes: int = 0
+    # ppermute-ring layout (SURVEY §7 phase 4 "overlapped with per-block
+    # SpMV"): edges regrouped by rotated source-owner step t =
+    # (me - owner) % P, so hop t's received segment feeds group t's
+    # partial segment sum while hop t+1 is in flight.
+    ring_targets: "jax.Array | None" = None  # (P, P, He) seg-local pos
+    ring_offsets: "jax.Array | None" = None  # (P, P, rows_per+1)
+    ring_send: "jax.Array | None" = None     # (P, P, H) rotated send rows
 
     @property
     def num_shards(self) -> int:
@@ -99,6 +106,42 @@ def shard_graph(graph: DirectedCsrGraph, mesh: Mesh, axis: str = NODES_AXIS,
 
     halo = build_halo(tgt, counts, rows_per)
 
+    # ring regrouping: per shard, edges sorted by rotated owner step
+    # (stable, so row order survives within each group)
+    H = halo.H
+    ring_tgt_l, ring_off_l, ring_send_l = [], [], []
+    He = 1
+    per_shard = []
+    for p in range(P_):
+        cnt = int(counts[p])
+        remap_p = halo.tgt_remap[p, :cnt]
+        owner = remap_p // H
+        local = remap_p % H
+        # hop t's shifted ppermute (p -> (p+t)%P) delivers THIS chip the
+        # segment of owner (p - t)%P, so group t = that owner's edges
+        t_step = (p - owner) % P_
+        rows = np.repeat(np.arange(rows_per),
+                         np.diff(off[p].astype(np.int64)))
+        o2 = np.argsort(t_step, kind="stable")
+        per_shard.append((t_step[o2], local[o2], rows[o2]))
+        if cnt:
+            He = max(He, int(np.bincount(t_step, minlength=P_).max()))
+    for p in range(P_):
+        t_s, local_s, rows_s = per_shard[p]
+        rt = np.zeros((P_, He), np.int32)
+        ro = np.zeros((P_, rows_per + 1), np.int32)
+        bounds = np.searchsorted(t_s, np.arange(P_ + 1))
+        for t in range(P_):
+            lo_, hi_ = bounds[t], bounds[t + 1]
+            rt[t, : hi_ - lo_] = local_s[lo_:hi_]
+            ro[t] = np.searchsorted(rows_s[lo_:hi_],
+                                    np.arange(rows_per + 1))
+        ring_tgt_l.append(rt)
+        ring_off_l.append(ro)
+        # send rows rotated: row t = what p sends at hop t (to (p+t)%P)
+        ring_send_l.append(np.stack(
+            [halo.send_idx[p, (p + t) % P_] for t in range(P_)]))
+
     shard = NamedSharding(mesh, P(axis))
     return ShardedPullGraph(
         in_targets=jax.device_put(jnp.asarray(halo.tgt_remap), shard),
@@ -111,6 +154,9 @@ def shard_graph(graph: DirectedCsrGraph, mesh: Mesh, axis: str = NODES_AXIS,
         edge_count=graph.edge_count,
         halo_bytes=halo.halo_bytes,
         gather_bytes=halo.gather_bytes,
+        ring_targets=jax.device_put(jnp.asarray(np.stack(ring_tgt_l)), shard),
+        ring_offsets=jax.device_put(jnp.asarray(np.stack(ring_off_l)), shard),
+        ring_send=jax.device_put(jnp.asarray(np.stack(ring_send_l)), shard),
     )
 
 
@@ -273,26 +319,109 @@ def _pagerank_sharded_fn(mesh: Mesh, axis: str, max_iterations: int, n: int):
     return jax.jit(mapped)
 
 
+@functools.lru_cache(maxsize=None)
+def _pagerank_ring_fn(mesh: Mesh, axis: str, max_iterations: int, n: int):
+    """Sharded PageRank with the halo decomposed into a ppermute ring.
+
+    Hop t delivers each chip the boundary segment of owner
+    (me - t) % P while the previous hop's owner-group partial segment
+    sum runs — XLA can overlap the shifted ppermute with the local
+    compute because the two have no data dependency (SURVEY §7 phase 4;
+    a blocking all_to_all serializes comm before all compute).  Partial
+    sums accumulate int32 fixed-point quanta, so the result is
+    bit-identical to the monolithic exchange.
+    """
+    from graph_tpu.ops.segment import segment_sum_quanta
+
+    P_ = mesh.shape[axis]
+    perms = [[(p, (p + t) % P_) for p in range(P_)] for t in range(P_)]
+
+    def shard_fn(rt, ro, outdeg, ring_send, tol, d):
+        rt = rt[0]            # (P, He) segment-local gather positions
+        ro = ro[0]            # (P, rows_per + 1) per-hop row offsets
+        outdeg = outdeg[0].astype(jnp.float32)
+        ring_send = ring_send[0]  # (P, H) rotated send rows
+        rows_per = outdeg.shape[0]
+        nf = jnp.float32(n)
+        init = 1.0 / nf
+        base = (1.0 - d) / nf
+        inv_outdeg = jnp.where(outdeg > 0, 1.0 / jnp.maximum(outdeg, 1.0),
+                               0.0)
+        scores0 = jax.lax.pvary(
+            jnp.full((rows_per,), init, dtype=jnp.float32), (axis,))
+        out0 = scores0 * inv_outdeg
+
+        def cond(state):
+            _, _, it, err = state
+            return (it < max_iterations) & (err >= tol)
+
+        def body(state):
+            scores, out_scores, it, _ = state
+            send_vals = out_scores[ring_send]     # (P, H)
+            acc = jnp.zeros((rows_per,), jnp.int32)
+            for t in range(P_):
+                if t == 0:
+                    seg = send_vals[0]            # own segment, no comm
+                else:
+                    seg = jax.lax.ppermute(send_vals[t], axis, perms[t])
+                acc = acc + segment_sum_quanta(seg[rt[t]], ro[t])
+            sums = acc.astype(jnp.float32) / jnp.float32(1 << 30)
+            new = base + d * sums
+            err = jax.lax.psum(jnp.sum(jnp.abs(new - scores)), axis)
+            return new, new * inv_outdeg, it + 1, err
+
+        scores, _, iters, err = jax.lax.while_loop(
+            cond, body, (scores0, out0, jnp.int32(0), jnp.float32(jnp.inf)))
+        return scores[None], iters, err
+
+    mapped = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P()),
+        out_specs=(P(axis), P(), P()),
+    )
+    return jax.jit(mapped)
+
+
 def page_rank_sharded(
     sg: ShardedPullGraph,
     mesh: Mesh,
     config: Optional[PageRankConfig] = None,
     axis: str = NODES_AXIS,
+    ring: bool = True,
 ) -> PageRankResult:
-    """Run PageRank on a sharded graph; returns global scores (n,)."""
+    """Run PageRank on a sharded graph; returns global scores (n,).
+
+    ``ring=True`` (default, when the shard carries the ring layout)
+    overlaps the halo exchange with per-owner-group compute; results
+    are bit-identical either way (int32 quanta accumulation commutes).
+    """
     import time
 
     config = config or PageRankConfig()
     start = time.perf_counter()
-    fn = _pagerank_sharded_fn(mesh, axis, int(config.max_iterations), sg.node_count)
-    scores, iters, err = fn(
-        sg.in_targets,
-        sg.in_offsets,
-        sg.out_degrees,
-        sg.send_idx,
-        jnp.float32(config.tolerance),
-        jnp.float32(config.damping_factor),
-    )
+    if ring and sg.ring_targets is not None:
+        fn = _pagerank_ring_fn(mesh, axis, int(config.max_iterations),
+                               sg.node_count)
+        scores, iters, err = fn(
+            sg.ring_targets,
+            sg.ring_offsets,
+            sg.out_degrees,
+            sg.ring_send,
+            jnp.float32(config.tolerance),
+            jnp.float32(config.damping_factor),
+        )
+    else:
+        fn = _pagerank_sharded_fn(mesh, axis, int(config.max_iterations),
+                                  sg.node_count)
+        scores, iters, err = fn(
+            sg.in_targets,
+            sg.in_offsets,
+            sg.out_degrees,
+            sg.send_idx,
+            jnp.float32(config.tolerance),
+            jnp.float32(config.damping_factor),
+        )
     scores = scores.reshape(-1)[: sg.node_count]
     scores.block_until_ready()
     micros = int((time.perf_counter() - start) * 1e6)

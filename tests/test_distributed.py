@@ -156,10 +156,14 @@ def test_sharded_fns_are_memoized(graph, mesh):
 
     cfg = PageRankConfig(max_iterations=5)
     sg = shard_graph(graph, mesh)
+    page_rank_sharded(sg, mesh, cfg)  # ring path (the default)
+    before = pp._pagerank_ring_fn.cache_info().hits
     page_rank_sharded(sg, mesh, cfg)
-    before = pp._pagerank_sharded_fn.cache_info().hits
-    page_rank_sharded(sg, mesh, cfg)
-    assert pp._pagerank_sharded_fn.cache_info().hits == before + 1
+    assert pp._pagerank_ring_fn.cache_info().hits == before + 1
+    page_rank_sharded(sg, mesh, cfg, ring=False)
+    bb = pp._pagerank_sharded_fn.cache_info().hits
+    page_rank_sharded(sg, mesh, cfg, ring=False)
+    assert pp._pagerank_sharded_fn.cache_info().hits == bb + 1
 
     hg = shard_hook_graph(graph, mesh)
     wcc_sharded(hg, mesh)
@@ -278,3 +282,21 @@ def test_rowblock_wcc_sssp_match_single(mesh):
     sharded_s = sssp_rowblock(srbe, DeltaSteppingConfig(0, 2.0))
     np.testing.assert_array_equal(sharded_s.distances_np(),
                                   single_s.distances_np())
+
+
+def test_ring_halo_bitmatches_blocking_exchange(graph, mesh):
+    """The ppermute-ring halo (overlapped, per-owner-group partial
+    sums in int32 quanta) must match the blocking all_to_all path bit
+    for bit, and both match the single-device result."""
+    from graph_tpu.parallel.pagerank import page_rank_sharded, shard_graph
+
+    cfg = PageRankConfig(max_iterations=12, tolerance=1e-7)
+    sg = shard_graph(graph, mesh)
+    assert sg.ring_targets is not None
+    ring = page_rank_sharded(sg, mesh, cfg, ring=True)
+    blocking = page_rank_sharded(sg, mesh, cfg, ring=False)
+    np.testing.assert_array_equal(ring.scores_np(), blocking.scores_np())
+    assert ring.ran_iterations == blocking.ran_iterations
+    single = page_rank(graph, cfg)
+    np.testing.assert_allclose(ring.scores_np(), single.scores_np(),
+                               atol=1e-6)

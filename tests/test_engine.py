@@ -523,3 +523,39 @@ def test_plan_v5_roundtrip_with_perm(tmp_path):
     p2 = EdgePlan.load(path)
     assert np.array_equal(p2.perm, p.perm)
     assert p2.win == p.win and p2.nslots == p.nslots
+
+
+def test_k2_section_classes_mixed_depths():
+    """A hub destination (full-depth scan sections) mixed with short
+    runs (truncated-depth sections) must partition into multiple K2
+    classes and stay exact."""
+    import jax.numpy as jnp
+
+    from graph_tpu.engine.engine import EdgeEngine, _k2_classes
+
+    rng_ = np.random.default_rng(31)
+    # two mids with different profiles: mid 0 holds a huge hub (its
+    # sections need deep row scans), mid 1 only small in-degrees
+    n = 100000
+    hub_m = 120000
+    tail_m = 80000
+    src = np.concatenate([rng_.integers(0, n, hub_m),
+                          rng_.integers(0, n, tail_m)])
+    dst = np.concatenate([np.zeros(hub_m, np.int64),
+                          rng_.integers(65536, n, tail_m)])
+    eng = EdgeEngine.build(src, dst, n, interpret=True)
+    classes = _k2_classes(eng.plan)
+    assert classes is not None and len(classes) >= 2, classes
+    x = (rng_.random(n) * 1e-5).astype(np.float32)
+    y = np.asarray(eng.spmv(jnp.asarray(x)))
+    q = np.round((x[src] * np.float32(1 << 30)).astype(np.float32))
+    acc = np.zeros(n, np.int64)
+    np.add.at(acc, dst, q.astype(np.int64))
+    y_exp = acc.astype(np.int32).astype(np.float32) / np.float32(1 << 30)
+    np.testing.assert_array_equal(y, y_exp)
+    # integer min across the same class split
+    xi = rng_.integers(0, 1 << 30, n).astype(np.int32)
+    yi = np.asarray(eng.smin_int(jnp.asarray(xi)))
+    yi_exp = np.full(n, np.iinfo(np.int32).max, np.int32)
+    np.minimum.at(yi_exp, dst, xi[src])
+    np.testing.assert_array_equal(yi, yi_exp)
