@@ -302,6 +302,10 @@ def global_triangle_count(graph: UndirectedCsrGraph) -> TriangleCountResult:
     n = graph.node_count
     srcs = np.asarray(graph.csr.sources).astype(np.int64)
     tgts = np.asarray(graph.csr.targets).astype(np.int64)
+    # padded (jit-built) dedup graphs carry a sentinel tail; the real
+    # edge count is offsets[-1] (graph/build.py static_shapes)
+    m_real = int(np.asarray(graph.csr.offsets[-1]))
+    srcs, tgts = srcs[:m_real], tgts[:m_real]
     if n == 0 or srcs.size == 0:
         return TriangleCountResult(
             triangles=0, micros=int((time.perf_counter() - start) * 1e6))

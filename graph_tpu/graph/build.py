@@ -100,8 +100,19 @@ def csr_from_coo(
     node_count: int,
     layout: CsrLayout = CsrLayout.UNSORTED,
     id_dtype=None,
+    static_shapes: Optional[bool] = None,
 ) -> Csr:
-    """Build one CSR direction from a COO edge stream on device."""
+    """Build one CSR direction from a COO edge stream on device.
+
+    ``static_shapes`` controls the DEDUPLICATED compaction: False (the
+    eager default) host-syncs the kept-edge count and returns exactly
+    sized arrays; True keeps all m slots, moves duplicates/self-loops
+    to a sentinel-row tail (row = node_count) and lets ``offsets``
+    ignore them — fully traceable, so dedup builds work under
+    ``jax.jit`` / ``shard_map`` (offsets[-1] is the real edge count;
+    consumers reading raw edge arrays slice by it).  None auto-selects:
+    padded when the inputs are tracers.
+    """
     id_dtype = canonical_id_dtype(
         id_dtype if id_dtype is not None else np.asarray(rows).dtype
         if hasattr(rows, "dtype")
@@ -118,14 +129,30 @@ def csr_from_coo(
     rows_s, cols_s, vals_s = _sorted_coo(rows, cols, values, sort_cols)
 
     if layout is CsrLayout.DEDUPLICATED and rows_s.shape[0] > 0:
-        mask, cnt = _dedup_mask_count(rows_s, cols_s)
-        keep = int(cnt)  # host sync: output size must be static
-        ops = [rows_s, cols_s] + ([vals_s] if vals_s is not None else [])
-        out = _compact_by_mask(mask, ops)
-        rows_s = out[0][:keep]
-        cols_s = out[1][:keep]
-        if vals_s is not None:
-            vals_s = out[2][:keep]
+        if static_shapes is None:
+            static_shapes = isinstance(rows_s, jax.core.Tracer)
+        if static_shapes:
+            # padded formulation: dropped edges become sentinel rows at
+            # the back; searchsorted probes stop at node_count, so the
+            # offsets (and every offsets-driven op) never see them
+            mask = _dedup_mask(rows_s, cols_s)
+            sent = jnp.asarray(node_count).astype(rows_s.dtype)
+            rows_m = jnp.where(mask, rows_s, sent)
+            cols_m = jnp.where(mask, cols_s, sent)
+            ops = [rows_m, cols_m] + ([vals_s] if vals_s is not None else [])
+            out = jax.lax.sort(ops, num_keys=2, is_stable=True)
+            rows_s, cols_s = out[0], out[1]
+            if vals_s is not None:
+                vals_s = out[2]
+        else:
+            mask, cnt = _dedup_mask_count(rows_s, cols_s)
+            keep = int(cnt)  # host sync: output size must be static
+            ops = [rows_s, cols_s] + ([vals_s] if vals_s is not None else [])
+            out = _compact_by_mask(mask, ops)
+            rows_s = out[0][:keep]
+            cols_s = out[1][:keep]
+            if vals_s is not None:
+                vals_s = out[2][:keep]
 
     offsets = _offsets_from_sorted_rows(rows_s, node_count)
     return Csr(offsets=offsets, sources=rows_s, targets=cols_s, values=vals_s)

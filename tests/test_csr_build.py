@@ -156,3 +156,55 @@ def test_int64_ids_end_to_end():
         comps = w.components_np()
         assert comps[0] == comps[1] == comps[2]
         assert comps[3] == 3 and comps[4] == comps[3] or comps[4] == 4
+
+
+def test_deduplicated_build_traces_under_jit():
+    """VERDICT round-2 weak #8: DEDUPLICATED builds must trace (padded
+    sentinel-tail formulation) — same offsets as the eager exact build,
+    and triangle counting accepts the padded graph."""
+    import jax
+    import jax.numpy as jnp
+
+    from graph_tpu.algos.triangle_count import global_triangle_count
+    from graph_tpu.graph.build import build_undirected
+    from graph_tpu.graph.csr import CsrLayout
+
+    rng = np.random.default_rng(17)
+    n, m = 300, 2400
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+
+    eager = build_undirected(jnp.asarray(src), jnp.asarray(dst),
+                             node_count=n, layout=CsrLayout.DEDUPLICATED)
+
+    @jax.jit
+    def build(s, d):
+        g = build_undirected(s, d, node_count=n,
+                             layout=CsrLayout.DEDUPLICATED)
+        return g.csr.offsets, g.csr.sources, g.csr.targets
+
+    off, srcs, tgts = build(jnp.asarray(src), jnp.asarray(dst))
+    np.testing.assert_array_equal(np.asarray(off),
+                                  np.asarray(eager.csr.offsets))
+    keep = int(off[-1])
+    np.testing.assert_array_equal(np.asarray(srcs)[:keep],
+                                  np.asarray(eager.csr.sources))
+    np.testing.assert_array_equal(np.asarray(tgts)[:keep],
+                                  np.asarray(eager.csr.targets))
+    assert np.all(np.asarray(srcs)[keep:] == n)  # sentinel tail
+
+    # TC on a padded graph == TC on the exact graph
+    padded = build_undirected(jnp.asarray(src), jnp.asarray(dst),
+                              node_count=n, layout=CsrLayout.DEDUPLICATED)
+    import dataclasses as dc
+
+    from graph_tpu.graph.build import csr_from_coo
+
+    rows = jnp.concatenate([jnp.asarray(src), jnp.asarray(dst)])
+    cols = jnp.concatenate([jnp.asarray(dst), jnp.asarray(src)])
+    csr_pad = csr_from_coo(rows, cols, node_count=n,
+                           layout=CsrLayout.DEDUPLICATED,
+                           static_shapes=True)
+    gp = dc.replace(eager, csr=csr_pad)
+    assert (global_triangle_count(gp).triangles
+            == global_triangle_count(eager).triangles)
