@@ -273,14 +273,15 @@ def bench_all():
     # ---- triangle count (distinct, DEDUPLICATED) via device sort-join
     tc_scale = int(os.environ.get("BENCH_TC_SCALE", "18"))
     from graph_tpu.algos.triangle_count import global_triangle_count
-    from graph_tpu.graph.build import build_undirected
+    from graph_tpu.graph.build import build_undirected_host
     from graph_tpu.graph.csr import CsrLayout
 
     t_src, t_dst = cached_rmat(tc_scale)
     t0 = time.perf_counter()
-    g = build_undirected(jnp.asarray(t_src), jnp.asarray(t_dst),
-                         node_count=1 << tc_scale,
-                         layout=CsrLayout.DEDUPLICATED)
+    # host-resident build: TC's prep reads the edge list on the host,
+    # and device->host downloads run at ~0.2 MB/s on the tunnel
+    g = build_undirected_host(t_src, t_dst, node_count=1 << tc_scale,
+                              layout=CsrLayout.DEDUPLICATED)
     tc_build_s = time.perf_counter() - t0
     r = global_triangle_count(g)  # warm (compiles)
     best = float("inf")

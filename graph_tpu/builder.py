@@ -32,7 +32,8 @@ from typing import Iterable, Optional, Sequence, Tuple, Union
 import numpy as np
 
 from graph_tpu.errors import GraphError, InvalidNodeValues
-from graph_tpu.graph.build import build_directed, build_undirected
+from graph_tpu.graph.build import (build_directed, build_undirected,
+                                   build_undirected_host)
 from graph_tpu.graph.csr import CsrLayout, DirectedCsrGraph, UndirectedCsrGraph
 
 
@@ -165,13 +166,19 @@ class GraphBuilder:
             node_values=self._node_values,
         )
 
-    def build_undirected(self) -> UndirectedCsrGraph:
+    def build_undirected(self, host: bool = False) -> UndirectedCsrGraph:
+        """``host=True`` keeps the CSR in host (numpy) arrays — for
+        pipelines whose next step reads the edge list back on the host
+        (triangle counting): a device-built graph costs minutes to
+        download through the TPU tunnel (graph/build.py
+        build_undirected_host)."""
         self._check()
         if self._prebuilt is not None:
             if not isinstance(self._prebuilt, UndirectedCsrGraph):
                 raise GraphError("snapshot contains a directed graph")
             return self._prebuilt
-        return build_undirected(
+        build = build_undirected_host if host else build_undirected
+        return build(
             self._src,
             self._dst,
             self._values,

@@ -196,6 +196,58 @@ def build_directed(
     return DirectedCsrGraph(csr_out=csr_out, csr_in=csr_in, node_values=nv, layout=layout)
 
 
+def build_undirected_host(
+    src,
+    dst,
+    values=None,
+    *,
+    node_count: Optional[int] = None,
+    layout: CsrLayout = CsrLayout.UNSORTED,
+    id_dtype=np.int32,
+    node_values=None,
+) -> UndirectedCsrGraph:
+    """Host-resident undirected build (numpy arrays in the Csr).
+
+    For host->device pipelines — triangle counting above all — whose
+    prep reads the whole edge list back on the host: downloading a
+    device-built graph through the TPU tunnel runs at ~0.2 MB/s
+    (minutes for scale-20), while numpy arrays used as jit arguments
+    upload at ~53 MB/s when (and only when) a device op needs them.
+    Results are identical to :func:`build_undirected`.
+    """
+    n = _infer_node_count(src, dst, node_count)
+    check_node_count_fits(n, canonical_id_dtype(id_dtype))
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    rows = np.concatenate([src, dst])
+    cols = np.concatenate([dst, src])
+    vals = None
+    if values is not None:
+        values = np.asarray(values)
+        vals = np.concatenate([values, values])
+    if layout in (CsrLayout.SORTED, CsrLayout.DEDUPLICATED):
+        order = np.lexsort((cols, rows))
+    else:
+        order = np.argsort(rows, kind="stable")
+    rows, cols = rows[order], cols[order]
+    if vals is not None:
+        vals = vals[order]
+    if layout is CsrLayout.DEDUPLICATED and rows.size:
+        keep = np.ones(rows.size, bool)
+        keep[1:] = ~((rows[1:] == rows[:-1]) & (cols[1:] == cols[:-1]))
+        keep &= rows != cols
+        rows, cols = rows[keep], cols[keep]
+        if vals is not None:
+            vals = vals[keep]
+    dt = canonical_id_dtype(id_dtype)
+    offsets = np.searchsorted(rows, np.arange(n + 1)).astype(dt)
+    csr = Csr(offsets=offsets, sources=rows.astype(dt),
+              targets=cols.astype(dt),
+              values=None if vals is None else vals.astype(np.float32))
+    nv = None if node_values is None else np.asarray(node_values)
+    return UndirectedCsrGraph(csr=csr, node_values=nv, layout=layout)
+
+
 def build_undirected(
     src,
     dst,

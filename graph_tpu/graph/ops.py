@@ -51,23 +51,39 @@ def make_degree_ordered(graph: UndirectedCsrGraph) -> UndirectedCsrGraph:
     csr = graph.csr
     degrees = np.diff(np.asarray(csr.offsets))
     new_id = degree_order_permutation(degrees)
-
-    new_id_dev = jnp.asarray(new_id.astype(np.asarray(csr.targets).dtype))
-    rows = new_id_dev[csr.sources]
-    cols = new_id_dev[csr.targets]
     layout = (
         CsrLayout.DEDUPLICATED
         if graph.layout is CsrLayout.DEDUPLICATED
         else CsrLayout.SORTED
     )
-    new_csr = csr_from_coo(
-        rows,
-        cols,
-        csr.values,
-        node_count=graph.node_count,
-        layout=CsrLayout.SORTED,  # relabel never re-dedups; lists are sorted
-        id_dtype=csr.targets.dtype,
-    )
+
+    if isinstance(csr.targets, np.ndarray):
+        # host-resident graph (build_undirected_host): relabel in numpy
+        # so the result stays host-resident (device->host downloads run
+        # at ~0.2 MB/s on the tunnel — triangle counting reads these
+        # arrays back on the host right after)
+        dt = csr.targets.dtype
+        rows = new_id[csr.sources].astype(dt)
+        cols = new_id[csr.targets].astype(dt)
+        order = np.lexsort((cols, rows))
+        rows, cols = rows[order], cols[order]
+        vals = None if csr.values is None else csr.values[order]
+        offsets = np.searchsorted(
+            rows, np.arange(graph.node_count + 1)).astype(dt)
+        new_csr = Csr(offsets=offsets, sources=rows, targets=cols,
+                      values=vals)
+    else:
+        new_id_dev = jnp.asarray(new_id.astype(np.asarray(csr.targets).dtype))
+        rows = new_id_dev[csr.sources]
+        cols = new_id_dev[csr.targets]
+        new_csr = csr_from_coo(
+            rows,
+            cols,
+            csr.values,
+            node_count=graph.node_count,
+            layout=CsrLayout.SORTED,  # relabel never re-dedups; sorted lists
+            id_dtype=csr.targets.dtype,
+        )
     node_values = graph.node_values
     if node_values is not None:
         inv = np.empty_like(new_id)

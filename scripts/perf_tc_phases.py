@@ -24,7 +24,7 @@ enable_compile_cache()
 
 from bench import cached_rmat  # noqa: E402
 from graph_tpu.algos import triangle_count as tc  # noqa: E402
-from graph_tpu.graph.build import build_undirected  # noqa: E402
+from graph_tpu.graph.build import build_undirected_host  # noqa: E402
 from graph_tpu.graph.csr import CsrLayout  # noqa: E402
 
 
@@ -33,11 +33,11 @@ def main():
     src, dst = cached_rmat(scale)
     n = 1 << scale
     t0 = time.perf_counter()
-    g = build_undirected(jnp.asarray(src), jnp.asarray(dst), node_count=n,
-                         layout=CsrLayout.DEDUPLICATED)
-    srcs = np.asarray(g.csr.sources).astype(np.int64)
-    tgts = np.asarray(g.csr.targets).astype(np.int64)
-    print(f"build+download: {time.perf_counter()-t0:.2f}s "
+    g = build_undirected_host(src, dst, node_count=n,
+                              layout=CsrLayout.DEDUPLICATED)
+    srcs = g.csr.sources.astype(np.int64)
+    tgts = g.csr.targets.astype(np.int64)
+    print(f"host build: {time.perf_counter()-t0:.2f}s "
           f"(m_dedup={srcs.size})", flush=True)
 
     t0 = time.perf_counter()
