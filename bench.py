@@ -270,6 +270,42 @@ def bench_all():
                    "run_s": round(sssp_s, 4)}})
     del weng
 
+    # ---- builder micro-bench (reference bar: criterion topology.rs —
+    # CSR construction, degrees, max_node_id)
+    from graph_tpu.graph.build import build_directed, build_undirected_host
+
+    sd = jnp.asarray(s_src)
+    dd = jnp.asarray(s_dst)
+    t0 = time.perf_counter()
+    gb = build_directed(sd, dd, node_count=ns)
+    gb.csr_out.offsets.block_until_ready()
+    dev_build_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    build_directed(sd, dd, node_count=ns).csr_out.offsets.block_until_ready()
+    dev_build_warm_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    from graph_tpu.graph.csr import CsrLayout as _CL
+
+    build_undirected_host(s_src, s_dst, node_count=ns,
+                          layout=_CL.DEDUPLICATED)
+    host_build_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    degs = gb.out_degrees()
+    degs.block_until_ready()
+    degrees_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    max_id = int(max(int(s_src.max()), int(s_dst.max())))
+    max_id_s = time.perf_counter() - t0
+    lines.append({
+        "metric": f"graph_build_rmat_scale{sssp_scale}",
+        "value": round(dev_build_warm_s, 4), "unit": "s",
+        "phases": {"device_build_cold_s": round(dev_build_s, 3),
+                   "device_build_warm_s": round(dev_build_warm_s, 3),
+                   "host_build_dedup_s": round(host_build_s, 3),
+                   "degrees_s": round(degrees_s, 4),
+                   "max_node_id_s": round(max_id_s, 4),
+                   "max_node_id": max_id}})
+
     # ---- triangle count (distinct, DEDUPLICATED) via device sort-join
     tc_scale = int(os.environ.get("BENCH_TC_SCALE", "18"))
     from graph_tpu.algos.triangle_count import global_triangle_count

@@ -174,14 +174,17 @@ def _pack_chunks(heads: np.ndarray, items: np.ndarray):
         p = pos[mask]
         mat[row_of[heads[mask]] + p // top, p % top] = items[mask]
         mats[top] = mat
-        # cross-chunk row pairs (a < b) per node
+        # cross-chunk row pairs (a < b) per node — grouped by chunk
+        # count so the pair expansion is one broadcast per distinct nc
+        # (a python loop per NODE cost ~90 s at scale 20)
         pa, pb = [], []
-        for i, nc in enumerate(nchunks):
-            if nc > 1:
-                r0 = row_start[i]
-                ia, ib = np.triu_indices(int(nc), k=1)
-                pa.append(r0 + ia)
-                pb.append(r0 + ib)
+        for v in np.unique(nchunks):
+            if v < 2:
+                continue
+            r0s = row_start[:-1][nchunks == v]
+            ia, ib = np.triu_indices(int(v), k=1)
+            pa.append((r0s[:, None] + ia[None, :]).ravel())
+            pb.append((r0s[:, None] + ib[None, :]).ravel())
         if pa:
             pa = np.concatenate(pa)
             pb = np.concatenate(pb)
@@ -312,17 +315,26 @@ def global_triangle_count(graph: UndirectedCsrGraph) -> TriangleCountResult:
     if n >= SENT:
         raise ValueError(f"triangle count supports node_count < 2^29, got {n}")
 
-    # ascending-degree rank bounds forward degree by the arboricity
-    deg = np.bincount(srcs, minlength=n)
-    order = np.argsort(deg, kind="stable")
-    rank = np.empty(n, np.int64)
-    rank[order] = np.arange(n)
-    a = rank[srcs]
-    b = rank[tgts]
-    fwd = a < b  # each undirected edge once; self-loops drop (equal rank)
-    a, b = a[fwd], b[fwd]
-    o = np.lexsort((b, a))
-    a, b = a[o], b[o]
+    # ascending-degree rank bounds forward degree by the arboricity;
+    # native C++ radix path (rank + forward filter + (a, b) sort) when
+    # available — numpy lexsort costs minutes at scale 20+ on this host
+    from graph_tpu.native.host_csr import tc_orient_native
+
+    nat = tc_orient_native(srcs.astype(np.int32), tgts.astype(np.int32), n) \
+        if n < (1 << 31) else None
+    if nat is not None:
+        a, b = nat[0].astype(np.int64), nat[1].astype(np.int64)
+    else:
+        deg = np.bincount(srcs, minlength=n)
+        order = np.argsort(deg, kind="stable")
+        rank = np.empty(n, np.int64)
+        rank[order] = np.arange(n)
+        a = rank[srcs]
+        b = rank[tgts]
+        fwd = a < b  # each edge once; self-loops drop (equal rank)
+        a, b = a[fwd], b[fwd]
+        o = np.lexsort((b, a))
+        a, b = a[o], b[o]
 
     mats, cross = _pack_chunks(a.astype(np.int64), b.astype(np.int32))
     count = _run_join(mats, cross, a, b)
@@ -366,12 +378,19 @@ def _multiset_triangle_count(graph: UndirectedCsrGraph) -> TriangleCountResult:
 
     gm, gnc, grs = chunk_rows(g_heads, g_items)
     fm, fnc, frs = chunk_rows(f_heads, f_items)
+    # chunk-pair expansion grouped by the (gnc, fnc) shape so each
+    # distinct shape is one broadcast (per-node meshgrids cost minutes
+    # at scale 20)
     pa, pb = [], []
-    for v in np.nonzero((gnc > 0) & (fnc > 0))[0]:
-        ia, ib = np.meshgrid(np.arange(gnc[v]), np.arange(fnc[v]),
-                             indexing="ij")
-        pa.append(grs[v] + ia.ravel())
-        pb.append(frs[v] + ib.ravel())
+    both = (gnc > 0) & (fnc > 0)
+    shape_key = gnc * (fnc.max() + 1) + fnc
+    for key in np.unique(shape_key[both]):
+        sel = both & (shape_key == key)
+        nodes = np.nonzero(sel)[0]
+        gv, fv = int(gnc[nodes[0]]), int(fnc[nodes[0]])
+        ia, ib = np.meshgrid(np.arange(gv), np.arange(fv), indexing="ij")
+        pa.append((grs[nodes][:, None] + ia.ravel()[None, :]).ravel())
+        pb.append((frs[nodes][:, None] + ib.ravel()[None, :]).ravel())
     if not pa:
         return TriangleCountResult(
             triangles=0, micros=int((time.perf_counter() - start) * 1e6))

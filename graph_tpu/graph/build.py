@@ -216,9 +216,27 @@ def build_undirected_host(
     Results are identical to :func:`build_undirected`.
     """
     n = _infer_node_count(src, dst, node_count)
-    check_node_count_fits(n, canonical_id_dtype(id_dtype))
+    dt = canonical_id_dtype(id_dtype)
+    check_node_count_fits(n, dt)
     src = np.asarray(src)
     dst = np.asarray(dst)
+    nv = None if node_values is None else np.asarray(node_values)
+
+    if dt == np.int32:  # the C++ radix builder emits int32 ids
+        from graph_tpu.native.host_csr import build_undirected_native
+
+        code = {CsrLayout.UNSORTED: 0, CsrLayout.SORTED: 1,
+                CsrLayout.DEDUPLICATED: 2}[layout]
+        native = build_undirected_native(
+            src, dst, np.asarray(values) if values is not None else None,
+            n, code)
+        if native is not None:
+            offsets, rows, cols, vals = native
+            csr = Csr(offsets=offsets, sources=rows, targets=cols,
+                      values=vals)
+            return UndirectedCsrGraph(csr=csr, node_values=nv,
+                                      layout=layout)
+
     rows = np.concatenate([src, dst])
     cols = np.concatenate([dst, src])
     vals = None
@@ -239,12 +257,10 @@ def build_undirected_host(
         rows, cols = rows[keep], cols[keep]
         if vals is not None:
             vals = vals[keep]
-    dt = canonical_id_dtype(id_dtype)
     offsets = np.searchsorted(rows, np.arange(n + 1)).astype(dt)
     csr = Csr(offsets=offsets, sources=rows.astype(dt),
               targets=cols.astype(dt),
               values=None if vals is None else vals.astype(np.float32))
-    nv = None if node_values is None else np.asarray(node_values)
     return UndirectedCsrGraph(csr=csr, node_values=nv, layout=layout)
 
 

@@ -41,21 +41,12 @@ def main():
           f"(m_dedup={srcs.size})", flush=True)
 
     t0 = time.perf_counter()
-    deg = np.bincount(srcs, minlength=n)
-    order = np.argsort(deg, kind="stable")
-    rank = np.empty(n, np.int64)
-    rank[order] = np.arange(n)
-    a = rank[srcs]
-    b = rank[tgts]
-    fwd = a < b
-    a, b = a[fwd], b[fwd]
-    print(f"rank+filter: {time.perf_counter()-t0:.2f}s (m_fwd={a.size})",
-          flush=True)
+    from graph_tpu.native.host_csr import tc_orient_native
 
-    t0 = time.perf_counter()
-    o = np.lexsort((b, a))
-    a, b = a[o], b[o]
-    print(f"lexsort: {time.perf_counter()-t0:.2f}s", flush=True)
+    nat = tc_orient_native(srcs.astype(np.int32), tgts.astype(np.int32), n)
+    a, b = nat[0].astype(np.int64), nat[1].astype(np.int64)
+    print(f"orient (native): {time.perf_counter()-t0:.2f}s "
+          f"(m_fwd={a.size})", flush=True)
 
     t0 = time.perf_counter()
     mats, cross = tc._pack_chunks(a.astype(np.int64), b.astype(np.int32))
@@ -67,6 +58,11 @@ def main():
     count = tc._run_join(mats, cross, a, b)
     print(f"join (device incl upload): {time.perf_counter()-t0:.2f}s "
           f"triangles={count}", flush=True)
+
+    t0 = time.perf_counter()
+    res = tc.global_triangle_count(g)
+    print(f"end-to-end global_triangle_count: {time.perf_counter()-t0:.2f}s "
+          f"triangles={res.triangles}", flush=True)
 
 
 if __name__ == "__main__":

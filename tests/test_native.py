@@ -52,3 +52,51 @@ def test_native_large_roundtrip(native_available, tmp_path):
     ns, nd, _ = edge_list_parser.parse(str(p), False)
     assert np.array_equal(ns, src)
     assert np.array_equal(nd, dst)
+
+
+def test_host_csr_native_matches_numpy():
+    """The C++ radix host builder and TC orientation must match the
+    numpy fallbacks exactly (same sort stability, dedup, ranks)."""
+    import numpy as np
+
+    from graph_tpu.native.host_csr import (
+        build_undirected_native, tc_orient_native)
+
+    rng = np.random.default_rng(41)
+    n, m = 700, 6000
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    w = rng.random(m).astype(np.float32)
+
+    nat = build_undirected_native(src, dst, w, n, 2)  # DEDUPLICATED
+    assert nat is not None
+    offsets, rows, cols, vals = nat
+    # numpy model
+    r2 = np.concatenate([src, dst])
+    c2 = np.concatenate([dst, src])
+    v2 = np.concatenate([w, w])
+    o = np.lexsort((c2, r2))
+    r2, c2, v2 = r2[o], c2[o], v2[o]
+    keep = np.ones(r2.size, bool)
+    keep[1:] = ~((r2[1:] == r2[:-1]) & (c2[1:] == c2[:-1]))
+    keep &= r2 != c2
+    np.testing.assert_array_equal(rows, r2[keep])
+    np.testing.assert_array_equal(cols, c2[keep])
+    np.testing.assert_array_equal(vals, v2[keep])
+    np.testing.assert_array_equal(
+        offsets, np.searchsorted(r2[keep], np.arange(n + 1)))
+
+    # orientation parity (rank by (degree, id), forward filter, sort)
+    srcs, tgts = r2[keep].astype(np.int32), c2[keep].astype(np.int32)
+    a_n, b_n = tc_orient_native(srcs, tgts, n)
+    deg = np.bincount(srcs, minlength=n)
+    order = np.argsort(deg, kind="stable")
+    rank = np.empty(n, np.int64)
+    rank[order] = np.arange(n)
+    a = rank[srcs]
+    b = rank[tgts]
+    fwd = a < b
+    a, b = a[fwd], b[fwd]
+    oo = np.lexsort((b, a))
+    np.testing.assert_array_equal(a_n, a[oo])
+    np.testing.assert_array_equal(b_n, b[oo])
