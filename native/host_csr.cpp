@@ -16,20 +16,31 @@
 
 namespace {
 
-// LSD radix passes of `bits` over key(i), permuting ids.
-template <typename KeyFn>
-void radix_passes(std::vector<int64_t>& ids, std::vector<int64_t>& tmp,
-                  int64_t key_max, KeyFn key) {
+// LSD radix passes over key[i] (int32), permuting the key array and up
+// to two payload arrays together each pass: sequential reads, no
+// id-indirection (an indirect `key(ids[i])` variant measured ~4x
+// slower — every lookup was a cache miss at Graph500 sizes).
+void radix_passes(std::vector<int32_t>& key, std::vector<int32_t>& p1,
+                  std::vector<float>* p2, int64_t key_max) {
+    int64_t m = key.size();
+    std::vector<int32_t> kt(m), p1t(m);
+    std::vector<float> p2t(p2 ? m : 0);
     int bits = 1;
     while ((key_max - 1) >> bits) bits++;
     for (int shift = 0; shift < bits; shift += 11) {
         int64_t cnt[2049] = {0};
-        for (int64_t i = 0; i < (int64_t)ids.size(); i++)
-            cnt[((key(ids[i]) >> shift) & 2047) + 1]++;
+        for (int64_t i = 0; i < m; i++)
+            cnt[((key[i] >> shift) & 2047) + 1]++;
         for (int k = 1; k <= 2048; k++) cnt[k] += cnt[k - 1];
-        for (int64_t i = 0; i < (int64_t)ids.size(); i++)
-            tmp[cnt[(key(ids[i]) >> shift) & 2047]++] = ids[i];
-        ids.swap(tmp);
+        for (int64_t i = 0; i < m; i++) {
+            int64_t d = cnt[(key[i] >> shift) & 2047]++;
+            kt[d] = key[i];
+            p1t[d] = p1[i];
+            if (p2) p2t[d] = (*p2)[i];
+        }
+        key.swap(kt);
+        p1.swap(p1t);
+        if (p2) p2->swap(p2t);
     }
 }
 
@@ -52,19 +63,22 @@ GtHostCsr* gt_build_undirected(const int64_t* src, const int64_t* dst,
                                const float* values, int64_t m, int64_t n,
                                int layout) {
     int64_t m2 = 2 * m;
-    std::vector<int64_t> rows(m2), cols(m2);
+    std::vector<int32_t> rows(m2), cols(m2);
+    std::vector<float> vals(values ? m2 : 0);
     for (int64_t i = 0; i < m; i++) {
-        rows[i] = src[i];
-        cols[i] = dst[i];
-        rows[m + i] = dst[i];
-        cols[m + i] = src[i];
+        rows[i] = (int32_t)src[i];
+        cols[i] = (int32_t)dst[i];
+        rows[m + i] = (int32_t)dst[i];
+        cols[m + i] = (int32_t)src[i];
+        if (values) {
+            vals[i] = values[i];
+            vals[m + i] = values[i];
+        }
     }
-    std::vector<int64_t> ids(m2), tmp(m2);
-    for (int64_t i = 0; i < m2; i++) ids[i] = i;
     int64_t kmax = n > 1 ? n : 2;
     if (layout >= 1)  // (row, col): LSD — minor key first
-        radix_passes(ids, tmp, kmax, [&](int64_t e) { return cols[e]; });
-    radix_passes(ids, tmp, kmax, [&](int64_t e) { return rows[e]; });
+        radix_passes(cols, rows, values ? &vals : nullptr, kmax);
+    radix_passes(rows, cols, values ? &vals : nullptr, kmax);
 
     auto* out = (GtHostCsr*)std::calloc(1, sizeof(GtHostCsr));
     out->rows = (int32_t*)std::malloc(m2 * sizeof(int32_t));
@@ -73,8 +87,7 @@ GtHostCsr* gt_build_undirected(const int64_t* src, const int64_t* dst,
     int64_t k = 0;
     int64_t pr = -1, pc = -1;
     for (int64_t i = 0; i < m2; i++) {
-        int64_t e = ids[i];
-        int64_t r = rows[e], c = cols[e];
+        int64_t r = rows[i], c = cols[i];
         if (layout == 2) {
             if (r == c) continue;                    // self-loop
             if (r == pr && c == pc) continue;        // duplicate
@@ -83,7 +96,7 @@ GtHostCsr* gt_build_undirected(const int64_t* src, const int64_t* dst,
         }
         out->rows[k] = (int32_t)r;
         out->cols[k] = (int32_t)c;
-        if (values) out->vals[k] = values[e < m ? e : e - m];
+        if (values) out->vals[k] = vals[i];
         k++;
     }
     out->m_out = k;
@@ -123,27 +136,23 @@ int64_t gt_tc_orient(const int32_t* srcs, const int32_t* tgts, int64_t m,
     for (int64_t v = 0; v < n; v++) rank[v] = cnt[deg[v]]++;  // stable by id
 
     // forward filter
-    std::vector<int64_t> a, b;
+    std::vector<int32_t> a, b;
     a.reserve(m / 2 + 1);
     b.reserve(m / 2 + 1);
     for (int64_t i = 0; i < m; i++) {
         int64_t ra = rank[srcs[i]], rb = rank[tgts[i]];
         if (ra < rb) {
-            a.push_back(ra);
-            b.push_back(rb);
+            a.push_back((int32_t)ra);
+            b.push_back((int32_t)rb);
         }
     }
     int64_t mf = (int64_t)a.size();
     // sort by (a, b): LSD radix, minor key first
-    std::vector<int64_t> ids(mf), tmp(mf);
-    for (int64_t i = 0; i < mf; i++) ids[i] = i;
     int64_t kmax = n > 1 ? n : 2;
-    radix_passes(ids, tmp, kmax, [&](int64_t e) { return b[e]; });
-    radix_passes(ids, tmp, kmax, [&](int64_t e) { return a[e]; });
-    for (int64_t i = 0; i < mf; i++) {
-        a_out[i] = (int32_t)a[ids[i]];
-        b_out[i] = (int32_t)b[ids[i]];
-    }
+    radix_passes(b, a, nullptr, kmax);
+    radix_passes(a, b, nullptr, kmax);
+    std::memcpy(a_out, a.data(), mf * sizeof(int32_t));
+    std::memcpy(b_out, b.data(), mf * sizeof(int32_t));
     return mf;
 }
 }
