@@ -32,6 +32,7 @@ from graph_tpu.graph.csr import (
 from graph_tpu.graph.build import (
     build_directed,
     build_undirected,
+    build_undirected_host,
     csr_from_coo,
 )
 from graph_tpu.builder import GraphBuilder
@@ -61,7 +62,9 @@ __all__ = [
     "InvalidNodeValues",
     "build_directed",
     "build_undirected",
+    "build_undirected_host",
     "csr_from_coo",
+    "load_graph500",
     "PageRankConfig",
     "WccConfig",
     "DeltaSteppingConfig",
@@ -80,6 +83,7 @@ __all__ = [
 # EdgeEngine: plan-compiled vectorized edge traversal (see PERF_NOTES.md)
 from graph_tpu.engine.engine import EdgeEngine
 from graph_tpu.engine.plan import EdgePlan, build_plan
+from graph_tpu.io.datasets import load_graph500
 
 
 def enable_compile_cache(path: str | None = None) -> str:
