@@ -94,13 +94,20 @@ def exactness_gate(eng, src, dst, n):
 
     rng = np.random.default_rng(1)
     x = (rng.random(n) * 1e-5).astype(np.float32)
-    y = np.asarray(jax.jit(eng.spmv_dev)(eng.dev, jnp.asarray(x)))
     q = np.round((x[src] * np.float32(1 << 30)).astype(np.float32))
     acc = np.zeros(n, np.int64)
     np.add.at(acc, dst, q.astype(np.int64))
     y_exp = acc.astype(np.int32).astype(np.float32) / np.float32(1 << 30)
-    if not np.array_equal(y, y_exp):
-        bad = int(np.sum(y != y_exp))
+
+    # compare ON DEVICE and fetch one scalar: downloading the full y
+    # runs at ~0.2 MB/s through the tunnel (minutes at scale 24)
+    @jax.jit
+    def check(dev, x, y_exp):
+        y = eng.spmv_dev(dev, x)
+        return jnp.sum((y != y_exp).astype(jnp.int32))
+
+    bad = int(check(eng.dev, jnp.asarray(x), jnp.asarray(y_exp)))
+    if bad:
         raise SystemExit(
             f"bench: spmv exactness gate FAILED on {bad}/{n} rows "
             "(Mosaic lowering regression?) — refusing to report GTEPS")
