@@ -17,42 +17,56 @@ from graph_tpu.engine.plan import EdgePlan, build_plan
 
 
 def _k1_classes(plan: EdgePlan):
-    """Partition K1 blocks by the window rows they actually scan.
+    """Partition K1 blocks by window rows scanned and gather mode.
 
     The window-row scan costs 3 VREG ops per row per tile, and most
     blocks need far fewer rows than the graph-wide window (hub tiles
     have tiny src spans).  Each class runs as its own pallas call with
     a statically smaller window, chained via output aliasing — paying
-    block-max instead of graph-max rows.  Classes covering < 5% of
-    blocks merge upward (dispatch overhead isn't worth it).
+    block-max instead of graph-max rows.  Blocks whose every slot sits
+    in the VREG row matching its window row mod 8 (the plan's
+    row-matched placement — verified here from widx alone, so old
+    packed plans simply class as rowscan) instead run the "rowmatch"
+    kernel: one lane taa per 8-row window group (~8x fewer VREG ops;
+    kernels._k1_kernel).  Classes covering < 5% of blocks merge upward
+    within their mode (dispatch overhead isn't worth it).
 
-    Returns [(win_c, border_c)] in ascending win order; border_c keeps
-    the plan's slice-major visit order.
+    Returns [(win_c, mode_c, border_c)]; border_c keeps the plan's
+    slice-major visit order.
     """
     import numpy as np
 
-    from graph_tpu.engine.kernels import TILE, TPB
+    from graph_tpu.engine.kernels import BLK, TILE, TPB
 
     nblocks = plan.sb.shape[0]
     if nblocks == 0:
-        return [(plan.win, plan.border)]
-    tile_max = plan.widx.reshape(-1, TILE).max(axis=1).astype(np.int64)
+        return [(plan.win, "rowscan", plan.border)]
+    widx = plan.widx.astype(np.int32)
+    tile_max = widx.reshape(-1, TILE).max(axis=1).astype(np.int64)
     blk_rows = tile_max.reshape(-1, TPB).max(axis=1) // 128 + 1
     # 1024-granularity classes (ws starts are 1024-aligned): power-of-two
     # rounding cost up to 2x scan rows (e.g. 37 actual rows paid 64)
     need = np.maximum(1024, np.minimum(
         plan.win, ((blk_rows * 128 + 1023) // 1024) * 1024))
-    # merge classes covering < 5% of blocks into the next bigger class
-    # (the biggest class always survives)
-    wins = [int(w) for w in np.sort(np.unique(need))]
-    for w in wins[:-1]:
-        if int((need == w).sum()) < nblocks * 0.05:
-            bigger = need[need > w]
-            need[need == w] = (bigger.min() if bigger.size else w)
+    # row-matched blocks: every slot's window row == 8*(widx>>10) + row
+    r3 = (widx >> 7) & 7
+    rowpat = (np.arange(widx.shape[0], dtype=np.int32) % 8)[:, None]
+    conform = ((r3 == rowpat).all(axis=1)
+               .reshape(-1, BLK // 128).all(axis=1))
     out = []
-    for w in (int(v) for v in np.sort(np.unique(need))):
-        border_c = plan.border[need[plan.border.astype(np.int64)] == w]
-        out.append((w, border_c))
+    for mode, sel in (("rowscan", ~conform), ("rowmatch", conform)):
+        if not sel.any():
+            continue
+        need_m = np.where(sel, need, -1)
+        wins = [int(w) for w in np.sort(np.unique(need_m[sel]))]
+        for w in wins[:-1]:
+            if int((need_m == w).sum()) < nblocks * 0.05:
+                bigger = need_m[need_m > w]
+                need_m[need_m == w] = (bigger.min() if bigger.size else w)
+        for w in (int(v) for v in np.sort(np.unique(need_m[sel]))):
+            border_c = plan.border[
+                need_m[plan.border.astype(np.int64)] == w]
+            out.append((w, mode, border_c))
     return out
 
 
@@ -151,10 +165,10 @@ class EdgeEngine:
         self.plan = plan
         self.interpret = interpret
         self.dev = plan.device_arrays()
-        self.k1_wins = []
-        for win_c, border_c in _k1_classes(plan):
-            self.k1_wins.append(win_c)
-            self.dev[f"border{win_c}"] = jnp.asarray(border_c)
+        self.k1_cls = []
+        for win_c, mode_c, border_c in _k1_classes(plan):
+            self.k1_cls.append((win_c, mode_c))
+            self.dev[f"border{win_c}_{mode_c}"] = jnp.asarray(border_c)
         self.k2_classes = _k2_classes(plan)
         if self.k2_classes is not None:
             for i, (_, _, ids) in enumerate(self.k2_classes):
@@ -163,11 +177,11 @@ class EdgeEngine:
     def _k1(self, dev, xp, weights=None, combine="none"):
         """Chained per-window-class K1 calls (see :func:`_k1_classes`)."""
         contrib = None
-        for win_c in self.k1_wins:
+        for win_c, mode_c in self.k1_cls:
             contrib = k1_gather(
-                xp, dev["widx"], dev[f"border{win_c}"], dev["sb"],
+                xp, dev["widx"], dev[f"border{win_c}_{mode_c}"], dev["sb"],
                 dev["ws"], win=win_c, nslices=self.plan.nslices,
-                weights=weights, combine=combine,
+                weights=weights, combine=combine, mode=mode_c,
                 out_init=contrib, interpret=self.interpret)
         return contrib
 

@@ -48,7 +48,8 @@ FIXED_BITS = 30        # fixed-point fraction bits
 
 
 def _k1_kernel(border_ref, sb_ref, ws_ref, x_refs, widx_ref, out_ref,
-               xs_ref, *, win=WIN, ew_ref=None, combine="none"):
+               xs_ref, *, win=WIN, ew_ref=None, combine="none",
+               mode="rowscan"):
     """Windowed gather; optionally combines a per-edge weight stream:
     combine="add" -> x[src] + w (tropical, SSSP relaxation),
     combine="mul" -> x[src] * w (weighted SpMV).
@@ -58,7 +59,14 @@ def _k1_kernel(border_ref, sb_ref, ws_ref, x_refs, widx_ref, out_ref,
     picks the smallest power-of-two window whose extra tile splits
     (padding) don't outweigh the saved rows.  Scalar-predicated
     per-tile row counts were measured 3.7x SLOWER than this static
-    unroll (branch+VMEM-roundtrip per row, see PERF_NOTES.md)."""
+    unroll (branch+VMEM-roundtrip per row, see PERF_NOTES.md).
+
+    ``mode="rowmatch"`` (round 3): the plan places every slot of these
+    blocks in the VREG row matching its window row mod 8 (row-matched
+    layout, verified from widx by engine._k1_classes), so the gather
+    collapses to ONE lane take_along_axis per 8-row window group plus
+    a group select — 3 VREG ops per 1024-window-element group instead
+    of 24 (measured ~5x on the big-window tail classes)."""
     k = pl.program_id(0)
     blk = border_ref[k].astype(jnp.int32)
     # restage the x slices only when the slice base changes: blocks
@@ -80,13 +88,22 @@ def _k1_kernel(border_ref, sb_ref, ws_ref, x_refs, widx_ref, out_ref,
             ws_ref[blk * TPB + t].astype(jnp.int32) * 1024, 1024)
         w = xs_ref[pl.ds(start, win)].reshape(win // 128, 128)
         idx = widx_ref[pl.ds(t * 8, 8), :].astype(jnp.int32)  # window-local
-        hi = idx >> 7
         lo = idx & 127
-        acc = jnp.zeros((8, 128), xs_ref.dtype)
-        for h in range(win // 128):
-            row = jax.lax.broadcast_in_dim(w[h], (8, 128), (1,))
-            g = jnp.take_along_axis(row, lo, axis=1)
-            acc = jnp.where(hi == h, g, acc)
+        if mode == "rowmatch":
+            # row-matched layout: slot's window row == 8*(idx>>10) + VREG
+            # row, so each 8-row group needs one lane taa + group select
+            grp = idx >> 10
+            acc = jnp.zeros((8, 128), xs_ref.dtype)
+            for g in range(win // 1024):
+                u = jnp.take_along_axis(w[g * 8:(g + 1) * 8, :], lo, axis=1)
+                acc = u if win == 1024 else jnp.where(grp == g, u, acc)
+        else:
+            hi = idx >> 7
+            acc = jnp.zeros((8, 128), xs_ref.dtype)
+            for h in range(win // 128):
+                row = jax.lax.broadcast_in_dim(w[h], (8, 128), (1,))
+                g = jnp.take_along_axis(row, lo, axis=1)
+                acc = jnp.where(hi == h, g, acc)
         if combine == "add":
             acc = acc + ew_ref[pl.ds(t * 8, 8), :]
         elif combine == "mul":
@@ -98,7 +115,8 @@ def _k1_kernel(border_ref, sb_ref, ws_ref, x_refs, widx_ref, out_ref,
 
 
 def k1_gather(x_padded, widx, border, sb, ws, *, win=WIN, nslices=NSLICES,
-              weights=None, combine="add", out_init=None, interpret=False):
+              weights=None, combine="add", out_init=None, interpret=False,
+              mode="rowscan"):
     """Per-edge gather: out[i] = x_padded[plan position of slot i].
 
     x_padded: (nx,) f32, nx a multiple of SLICE (>= (max(sb)+NSLICES)*SLICE).
@@ -146,7 +164,7 @@ def k1_gather(x_padded, widx, border, sb, ws, *, win=WIN, nslices=NSLICES,
             x_refs = rest[:nslices]
             widx_ref, out_ref, xs_ref = rest[nslices], rest[-2], rest[-1]
             _k1_kernel(border_ref, sb_ref, ws_ref, x_refs, widx_ref,
-                       out_ref, xs_ref, win=win)
+                       out_ref, xs_ref, win=win, mode=mode)
         args = [border, sb, ws] + [x_padded] * nslices + [widx]
     else:
         def kernel(border_ref, sb_ref, ws_ref, *rest):
@@ -155,7 +173,7 @@ def k1_gather(x_padded, widx, border, sb, ws, *, win=WIN, nslices=NSLICES,
             out_ref, xs_ref = rest[-2], rest[-1]
             _k1_kernel(border_ref, sb_ref, ws_ref, x_refs, widx_ref,
                        out_ref, xs_ref, win=win, ew_ref=ew_ref,
-                       combine=combine)
+                       combine=combine, mode=mode)
         args = [border, sb, ws] + [x_padded] * nslices + [widx, weights]
     aliases = {}
     if out_init is not None:

@@ -41,6 +41,10 @@ from graph_tpu.engine.kernels import (
 
 logger = logging.getLogger(__name__)
 
+#: Default (pad) window position per tile slot: its VREG row * 128 —
+#: row-conformal for the row-matched K1 mode and always < win.
+_ROWPAT = ((np.arange(TILE) // 128) * 128).astype(np.int64)
+
 
 @dataclasses.dataclass
 class EdgePlan:
@@ -83,7 +87,8 @@ class EdgePlan:
     def nsrc(self) -> int:
         return self.n_src or self.n
 
-    FORMAT_VERSION = 5  # v5: optional degree-relabel perm;
+    FORMAT_VERSION = 6  # v6: row-matched tile placement (K1 rowmatch);
+    # v5: optional degree-relabel perm;
     # v4: per-plan nslices (block-span budget);
     # v3: uint16 sb/border (SMEM prefetch limit at scale 24+);
     # v2: compaction replaced by route 2
@@ -355,6 +360,7 @@ def build_plan(
     tile_pads: list = []       # per tile: (ntail, lead, _)
     tile_dstl: list = []
     tile_eidx: list = []       # per tile: slice (lo_edge, hi_edge) into order
+    tile_pos: list = []        # per tile: row-matched positions or None
     slot = 0
     sec_mid_list = []
     for mi in range(nmid):
@@ -363,7 +369,7 @@ def build_plan(
         s0 = slot
         slot = _layout_mid_with_dst(
             src_s[lo:hi], dstl_s[lo:hi], tile_srcs, tile_pads, tile_dstl, s0,
-            tile_eidx, lo, win=win, nslices=nslices)
+            tile_eidx, lo, win=win, nslices=nslices, out_pos=tile_pos)
         nsec_i = (slot - s0) // SEC
         sec_mid_list.extend([mi] * nsec_i)
     nslots = slot
@@ -383,7 +389,12 @@ def build_plan(
             lead = tile_pads[t][1]
             if srcs is not None and srcs.size:
                 elo, ehi = tile_eidx[t]
-                wvals[pos_w + lead: pos_w + lead + srcs.size] = val_s[elo:ehi]
+                rp = tile_pos[t]
+                if rp is None:
+                    wvals[pos_w + lead: pos_w + lead + srcs.size] = (
+                        val_s[elo:ehi])
+                else:
+                    wvals[pos_w + rp] = val_s[elo:ehi]
             pos_w += TILE
     slot_dstl = np.zeros(nslots, np.int32)  # -1 lead, MID tail/pads
     ws = np.zeros(ntiles, np.int32)  # stored /1024 as uint8 below
@@ -407,12 +418,20 @@ def build_plan(
             ws[t] = min((first_local // 1024) * 1024, nslices * SLICE - win)
         else:
             ws[t] = 0
-        fill = np.zeros(TILE, np.int64)  # pads gather window slot 0
+        # pads gather window position (row*128): row-conformal (so pad
+        # tiles never demote a block from rowmatch mode), always < win,
+        # value masked by K2's pad bit either way
+        fill = _ROWPAT.copy()
         dloc = np.full(TILE, MID, np.int32)
         off = lead
         if srcs is not None and srcs.size:
-            fill[off:off + srcs.size] = srcs - base - ws[t]
-            dloc[off:off + srcs.size] = tile_dstl[t]
+            rp = tile_pos[t]
+            if rp is None:
+                fill[off:off + srcs.size] = srcs - base - ws[t]
+                dloc[off:off + srcs.size] = tile_dstl[t]
+            else:
+                fill[rp] = srcs - base - ws[t]
+                dloc[rp] = tile_dstl[t]
         if lead:
             dloc[0] = -1
         widx_flat[pos:pos + TILE] = fill.astype(np.uint16)
@@ -472,16 +491,68 @@ def build_plan(
     return plan
 
 
+def _rowmatch_positions(idxs, k, lead):
+    """Try the row-matched placement for a tile's candidate slots.
+
+    idxs: (k,) window-local positions (src - base - ws_t), ascending.
+    Returns (k_rm, pos) — the longest prefix whose slots fit the
+    per-VREG-row capacity (row i takes only slots with (idx>>7)&7 == i,
+    128 per row, minus the lead pad in row 0) and their positions
+    within the tile, or (0, None) when even the first slot cannot be
+    placed.  Duplicate-heavy (hub) runs overflow a single row quickly,
+    so callers fall back to the packed order when k_rm is small."""
+    r3 = (idxs[:k] >> 7) & 7
+    k_rm = k
+    for c in range(8):
+        cap = 128 - (lead if c == 0 else 0)
+        occ = np.nonzero(r3 == c)[0]
+        if occ.size > cap:
+            k_rm = min(k_rm, int(occ[cap]))
+    if k_rm <= 0:
+        return 0, None
+    r = r3[:k_rm]
+    order = np.argsort(r, kind="stable")
+    rs = r[order]
+    counts = np.bincount(rs, minlength=8)
+    starts = np.cumsum(counts) - counts
+    rank = np.arange(k_rm) - starts[rs]
+    pos_sorted = rs * 128 + rank + np.where(rs == 0, lead, 0)
+    pos = np.empty(k_rm, np.int64)
+    pos[order] = pos_sorted
+    return k_rm, pos
+
+
 def _layout_mid_with_dst(src, dstl, out_src, out_pad, out_dstl, slot0,
                          out_eidx=None, edge_base=0, win=WIN,
-                         nslices=NSLICES):
-    """Greedy layout; also records per-tile (lo, hi) edge-index ranges."""
+                         nslices=NSLICES, out_pos=None):
+    """Greedy layout; also records per-tile (lo, hi) edge-index ranges.
+
+    ``out_pos`` (when given) collects the per-tile slot positions: an
+    int array for row-matched tiles (slot i of the tile's src list sits
+    at tile position pos[i]; see kernels._k1_kernel mode="rowmatch"),
+    or None for the packed order.  Row-matching trades a few unfilled
+    positions for an ~8x cheaper K1 gather, so a tile accepts it when
+    the saved scan rows beat the pad cost (WIN_COST_RATIO units); hub
+    tiles (long duplicate runs overflow one VREG row) stay packed, and
+    once a tile of a block goes packed the rest of the block follows
+    (the engine classes blocks whole)."""
     span_budget = win - 1024  # worst-case room above a 1024-aligned start
     block_span = nslices * SLICE - 1
     m_i = src.size
     cur = 0
     slot = slot0
     block_first = -1
+    rm_allowed = True
+
+    def _pad_tile(lead):
+        out_src.append(None)
+        out_pad.append((TILE - lead, lead, None))
+        out_dstl.append(None)
+        if out_eidx is not None:
+            out_eidx.append((0, 0))
+        if out_pos is not None:
+            out_pos.append(None)
+
     while True:
         if cur >= m_i and slot % SEC == 0 and slot > slot0:
             break
@@ -490,13 +561,10 @@ def _layout_mid_with_dst(src, dstl, out_src, out_pad, out_dstl, slot0,
         lead = 1 if slot % SEC == 0 else 0
         if slot % BLK == 0:
             block_first = -1
+            rm_allowed = True
         cap = TILE - lead
         if cur >= m_i:
-            out_src.append(None)
-            out_pad.append((TILE - lead, lead, None))
-            out_dstl.append(None)
-            if out_eidx is not None:
-                out_eidx.append((0, 0))
+            _pad_tile(lead)
             slot += TILE
             if slot % SEC == 0:
                 break
@@ -506,21 +574,37 @@ def _layout_mid_with_dst(src, dstl, out_src, out_pad, out_dstl, slot0,
             block_first = first
         block_base = (block_first // SLICE) * SLICE
         if first - block_base > block_span:
-            out_src.append(None)
-            out_pad.append((TILE - lead, lead, None))
-            out_dstl.append(None)
-            if out_eidx is not None:
-                out_eidx.append((0, 0))
+            _pad_tile(lead)
             slot += TILE
             continue
         hi_span = min(first + span_budget, block_base + block_span)
         hi = np.searchsorted(src, hi_span, side="right")
         k = min(cap, hi - cur)
+        pos = None
+        if out_pos is not None and rm_allowed:
+            ws_t = min(((first - block_base) // 1024) * 1024,
+                       nslices * SLICE - win)
+            idxs = src[cur:cur + k] - block_base - ws_t
+            k_rm, pos = _rowmatch_positions(idxs, k, lead)
+            if k_rm:
+                # accept iff saved scan rows beat the extra pad cost
+                rows = int(idxs[k - 1]) // 128 + 1
+                saved = rows - -(-rows // 8)
+                if k_rm * saved < (k - k_rm) * WIN_COST_RATIO:
+                    pos = None
+            else:
+                pos = None
+            if pos is not None:
+                k = k_rm
+            else:
+                rm_allowed = False
         out_src.append(src[cur:cur + k])
         out_dstl.append(dstl[cur:cur + k])
         out_pad.append((TILE - lead - k, lead, None))
         if out_eidx is not None:
             out_eidx.append((edge_base + cur, edge_base + cur + k))
+        if out_pos is not None:
+            out_pos.append(pos)
         cur += k
         slot += TILE
     return slot
@@ -537,7 +621,10 @@ def _count_slots(src_sorted, win, nslices=NSLICES):
     """Count-only replica of :func:`_layout_mid_with_dst` for one mid.
 
     Returns (slots, rowcost) where rowcost sums BLK * class_rows over
-    the mid's K1 blocks — the same units the native layout reports."""
+    the mid's K1 blocks — the same units the native layout reports.
+    Row-matched blocks pay ~class_rows/8 (one lane taa per 8-row window
+    group), mirroring the layout's per-tile row-match decision so the
+    window auto-pick prices what the kernels will actually run."""
     span_budget = win - 1024
     block_span = nslices * SLICE - 1
     m_i = src_sorted.size
@@ -545,16 +632,25 @@ def _count_slots(src_sorted, win, nslices=NSLICES):
     slot = 0
     block_first = -1
     block_rows = 0
+    block_rm = True
+    rm_allowed = True
     rowcost = 0
+
+    def _flush(rows, rm):
+        c = _class_rows(rows, win)
+        return BLK * (-(-c // 8) if rm else c)
+
     while True:
         if cur >= m_i and slot % SEC == 0 and slot > 0:
             break
         lead = 1 if slot % SEC == 0 else 0
         if slot % BLK == 0:
             if slot > 0:
-                rowcost += BLK * _class_rows(block_rows, win)
+                rowcost += _flush(block_rows, block_rm)
                 block_rows = 0
             block_first = -1
+            block_rm = True
+            rm_allowed = True
         if cur >= m_i:
             slot += TILE
             if slot % SEC == 0:
@@ -572,12 +668,26 @@ def _count_slots(src_sorted, win, nslices=NSLICES):
         k = min(TILE - lead, hi - cur)
         ws_t = min(((first - block_base) // 1024) * 1024,
                    nslices * SLICE - win)
-        rows = (src_sorted[cur + k - 1] - block_base - ws_t) // 128 + 1
+        idxs = src_sorted[cur:cur + k] - block_base - ws_t
+        use_rm = False
+        if rm_allowed:
+            k_rm, _pos = _rowmatch_positions(idxs, k, lead)
+            if k_rm:
+                rows = int(idxs[k - 1]) // 128 + 1
+                saved = rows - -(-rows // 8)
+                if k_rm * saved >= (k - k_rm) * WIN_COST_RATIO:
+                    use_rm = True
+                    k = k_rm
+            if not use_rm:
+                rm_allowed = False
+        if not use_rm:
+            block_rm = False
+        rows = int(idxs[k - 1]) // 128 + 1
         block_rows = max(block_rows, rows)
         cur += k
         slot += TILE
     if slot > 0:
-        rowcost += BLK * _class_rows(block_rows, win)
+        rowcost += _flush(block_rows, block_rm)
     return slot, rowcost
 
 

@@ -59,12 +59,12 @@ class ShardedEdgeEngine:
                     f"{e.plan.nslices}) — build them via "
                     "ShardedEdgeEngine.build or pass win=/nslices=")
         for e in engines:
-            e.k1_wins = [win]
+            e.k1_cls = [(win, "rowscan")]  # valid for any placement
             e.k2_classes = None  # per-device class splits differ in shape
             e.dev = {k: v for k, v in e.dev.items()
                      if not (k.startswith("border") and k != "border")
                      and not k.startswith("k2sel")}
-            e.dev[f"border{win}"] = e.dev["border"]
+            e.dev[f"border{win}_rowscan"] = e.dev["border"]
         # stack per-device plan arrays along a leading axis
         devs = [e.dev for e in engines]
         self.dev_stacked = {
@@ -162,12 +162,12 @@ class RowBlockEdgeEngine:
                 raise ValueError(
                     "all row-block plans must share (win, nslices); build "
                     "them via RowBlockEdgeEngine.build")
-            e.k1_wins = [win]
+            e.k1_cls = [(win, "rowscan")]  # valid for any placement
             e.k2_classes = None  # per-device class splits differ in shape
             e.dev = {k: v for k, v in e.dev.items()
                      if not (k.startswith("border") and k != "border")
                      and not k.startswith("k2sel")}
-            e.dev[f"border{win}"] = e.dev["border"]
+            e.dev[f"border{win}_rowscan"] = e.dev["border"]
         devs = [e.dev for e in engines]
         self.dev_stacked = {
             k: jnp.stack([d[k] for d in devs]) for k in devs[0]

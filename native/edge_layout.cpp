@@ -58,7 +58,17 @@ int64_t class_rows(int64_t rows, int64_t win) {
 // Greedy layout of one mid (edges sorted by src). Two modes: count-only
 // (out == nullptr; optionally accumulates the window-class scan-row
 // cost into *rowcost — units: slots x rows, comparable with
-// WIN_COST_RATIO * nslots) and fill.
+// WIN_COST_RATIO * nslots) and fill.  Both modes make IDENTICAL
+// row-match decisions (the counts allocate the fill arrays).
+//
+// Row-matched placement (plan v6, kernels._k1_kernel mode="rowmatch"):
+// a tile whose slots can sit in the VREG row matching their window row
+// mod 8 (<=128 per row, minus the lead pad in row 0) runs an ~8x
+// cheaper K1 gather.  A tile accepts it when the saved scan rows beat
+// the pad cost; hub tiles (duplicate runs overflow one row: saved == 0)
+// stay packed, and once one tile of a block goes packed the rest of the
+// block follows (the engine classes blocks whole).  Pad slots point at
+// window position row*128 (row-conformal, always < win, masked by K2).
 int64_t layout_mid(const int64_t* src, const int64_t* dstl, const float* val,
                    int64_t m_i, int64_t slot0, Layout* out, int64_t win,
                    int64_t nslices, int64_t* rowcost = nullptr) {
@@ -68,14 +78,26 @@ int64_t layout_mid(const int64_t* src, const int64_t* dstl, const float* val,
     int64_t slot = slot0;
     int64_t block_first = -1;
     int64_t block_rows = 0;  // max scan rows of any tile in this block
+    bool block_rm = true;    // every real tile of this block row-matched
+    bool rm_allowed = true;
+    auto flush_rowcost = [&]() {
+        // row-matched blocks pay ~class_rows/8 (one lane taa per 8-row
+        // window group instead of 3 VREG ops per row)
+        int64_t cr = class_rows(block_rows, win);
+        *rowcost += BLK * (block_rm ? (cr + 7) / 8 : cr);
+    };
     for (;;) {
         if (cur >= m_i && slot % SEC == 0 && slot > slot0) break;
         int lead = (slot % SEC == 0) ? 1 : 0;
         if (slot % BLK == 0 && slot > slot0 && rowcost) {
-            *rowcost += BLK * class_rows(block_rows, win);
+            flush_rowcost();
             block_rows = 0;
         }
-        if (slot % BLK == 0) block_first = -1;
+        if (slot % BLK == 0) {
+            block_first = -1;
+            rm_allowed = true;
+            block_rm = true;
+        }
         int64_t t = slot / TILE;
         int64_t b = slot / BLK;
         if (cur >= m_i) {
@@ -83,7 +105,7 @@ int64_t layout_mid(const int64_t* src, const int64_t* dstl, const float* val,
                 if (slot % BLK == 0) out->sb[b] = 0;
                 out->ws[t] = 0;
                 for (int64_t i = 0; i < TILE; i++) {
-                    out->widx[slot + i] = 0;
+                    out->widx[slot + i] = (uint16_t)((i >> 7) << 7);
                     out->keys[slot + i] = (int32_t)MID;
                     if (out->wvals) out->wvals[slot + i] = 0.0f;
                 }
@@ -101,7 +123,7 @@ int64_t layout_mid(const int64_t* src, const int64_t* dstl, const float* val,
             if (out) {
                 out->ws[t] = 0;
                 for (int64_t i = 0; i < TILE; i++) {
-                    out->widx[slot + i] = 0;
+                    out->widx[slot + i] = (uint16_t)((i >> 7) << 7);
                     out->keys[slot + i] = (int32_t)MID;
                     if (out->wvals) out->wvals[slot + i] = 0.0f;
                 }
@@ -122,39 +144,71 @@ int64_t layout_mid(const int64_t* src, const int64_t* dstl, const float* val,
         int64_t k = lo - cur;
         int64_t cap = TILE - lead;
         if (k > cap) k = cap;
+        int64_t first_local = first - block_base;
+        int64_t ws_t = (first_local / 1024) * 1024;
+        int64_t wmax = nslices * SLICE - win;
+        if (ws_t > wmax) ws_t = wmax;
+        // ---- row-match decision (identical in count and fill modes)
+        bool use_rm = false;
+        if (rm_allowed) {
+            int64_t capc[8] = {128 - lead, 128, 128, 128,
+                               128, 128, 128, 128};
+            int64_t cnt[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+            int64_t k_rm = k;
+            for (int64_t i = 0; i < k; i++) {
+                int64_t r3 = ((src[cur + i] - block_base - ws_t) >> 7) & 7;
+                if (cnt[r3] == capc[r3]) { k_rm = i; break; }
+                cnt[r3]++;
+            }
+            if (k_rm > 0) {
+                int64_t rows =
+                    (src[cur + k - 1] - block_base - ws_t) / 128 + 1;
+                int64_t saved = rows - (rows + 7) / 8;
+                if (k_rm * saved >= (k - k_rm) * WIN_COST_RATIO) {
+                    use_rm = true;
+                    k = k_rm;
+                }
+            }
+            if (!use_rm) rm_allowed = false;
+        }
+        if (!use_rm) block_rm = false;
         if (!out && rowcost) {
-            int64_t first_local = first - block_base;
-            int64_t ws_t = (first_local / 1024) * 1024;
-            int64_t wmax = nslices * SLICE - win;
-            if (ws_t > wmax) ws_t = wmax;
             int64_t rows = (src[cur + k - 1] - block_base - ws_t) / 128 + 1;
             if (rows > block_rows) block_rows = rows;
         }
         if (out) {
             int64_t base = block_base;
-            int64_t first_local = first - base;
-            int64_t ws_t = (first_local / 1024) * 1024;
-            int64_t wmax = nslices * SLICE - win;
-            if (ws_t > wmax) ws_t = wmax;
             out->ws[t] = (int32_t)ws_t;
             for (int64_t i = 0; i < TILE; i++) {
-                out->widx[slot + i] = 0;
+                out->widx[slot + i] = (uint16_t)((i >> 7) << 7);
                 out->keys[slot + i] = (int32_t)MID;
                 if (out->wvals) out->wvals[slot + i] = 0.0f;
             }
             if (lead) out->keys[slot] = -1;
-            for (int64_t i = 0; i < k; i++) {
-                out->widx[slot + lead + i] =
-                    (uint16_t)(src[cur + i] - base - ws_t);
-                out->keys[slot + lead + i] = (int32_t)dstl[cur + i];
-                if (out->wvals) out->wvals[slot + lead + i] = val[cur + i];
+            if (use_rm) {
+                int64_t rcnt[8] = {lead, 0, 0, 0, 0, 0, 0, 0};
+                for (int64_t i = 0; i < k; i++) {
+                    int64_t idx = src[cur + i] - base - ws_t;
+                    int64_t r3 = (idx >> 7) & 7;
+                    int64_t p = r3 * 128 + rcnt[r3]++;
+                    out->widx[slot + p] = (uint16_t)idx;
+                    out->keys[slot + p] = (int32_t)dstl[cur + i];
+                    if (out->wvals) out->wvals[slot + p] = val[cur + i];
+                }
+            } else {
+                for (int64_t i = 0; i < k; i++) {
+                    out->widx[slot + lead + i] =
+                        (uint16_t)(src[cur + i] - base - ws_t);
+                    out->keys[slot + lead + i] = (int32_t)dstl[cur + i];
+                    if (out->wvals) out->wvals[slot + lead + i] = val[cur + i];
+                }
             }
         }
         cur += k;
         slot += TILE;
     }
     if (rowcost && slot > slot0)  // flush the last block
-        *rowcost += BLK * class_rows(block_rows, win);
+        flush_rowcost();
     return slot;
 }
 

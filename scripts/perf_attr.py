@@ -69,8 +69,8 @@ def main():
     eng = EdgeEngine(plan)
     nblocks = plan.sb.shape[0]
     rows_weighted = 0.0
-    for w, bc in _k1_classes(plan):
-        print(f"  class win={w}: {bc.size} blocks "
+    for w, mo, bc in _k1_classes(plan):
+        print(f"  class win={w} {mo}: {bc.size} blocks "
               f"({100*bc.size/max(nblocks,1):.1f}%)")
         rows_weighted += (w // 128) * bc.size
     print(f"  weighted avg scan rows/block: {rows_weighted/max(nblocks,1):.1f}")

@@ -1,0 +1,131 @@
+"""Micro-bench: K1 row-matched lane gather vs the window-row scan.
+
+The K1 tile body resolves out[i,j] = w[R[i,j], C[i,j]] with a 3-VREG-op
+scan over the window's win/128 rows.  But the plan is free to REORDER
+slots within a tile (K2's Benes route absorbs any slot order), so it
+can place every slot in VREG row i == R mod 8.  Then for each 8-row
+window group g the gather collapses to ONE lane take_along_axis plus a
+group select:
+
+    u = taa(w[8g:8g+8], C, axis=1);  acc = where(R >> 3 == g, u, acc)
+
+i.e. 3 VREG ops per 1024-window-element group instead of 24.  This
+script measures both modes on a synthetic full-block workload with the
+row-matched index distribution.
+
+Usage: python scripts/perf_k1_rowmatch.py [win ...]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from graph_tpu import enable_compile_cache
+
+enable_compile_cache()
+
+TILE = 1024
+TPB = 16
+BLK = TILE * TPB
+
+
+def make_kernel(win, mode):
+    def kernel(widx_ref, x_ref, out_ref):
+        def tile_body(t, _):
+            w = x_ref[pl.ds(0, win)].reshape(win // 128, 128)
+            idx = widx_ref[pl.ds(t * 8, 8), :].astype(jnp.int32)
+            lo = idx & 127
+            if mode == "rowscan":
+                hi = idx >> 7
+                acc = jnp.zeros((8, 128), jnp.float32)
+                for h in range(win // 128):
+                    row = jax.lax.broadcast_in_dim(w[h], (8, 128), (1,))
+                    g = jnp.take_along_axis(row, lo, axis=1)
+                    acc = jnp.where(hi == h, g, acc)
+            else:  # rowmatch: slots satisfy (idx >> 7) & 7 == VREG row
+                grp = idx >> 10
+                acc = jnp.zeros((8, 128), jnp.float32)
+                for g in range(win // 1024):
+                    wg = w[g * 8:(g + 1) * 8, :]
+                    u = jnp.take_along_axis(wg, lo, axis=1)
+                    if win == 1024:
+                        acc = u
+                    else:
+                        acc = jnp.where(grp == g, u, acc)
+            out_ref[pl.ds(t * 8, 8), :] = acc
+            return 0
+
+        jax.lax.fori_loop(0, TPB, tile_body, 0, unroll=True)
+
+    return kernel
+
+
+def run(win, mode, nblk, widx, x):
+    kernel = make_kernel(win, mode)
+    f = pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[pl.BlockSpec((BLK // 128, 128), lambda k: (k, 0)),
+                  pl.BlockSpec((win,), lambda k: (0,))],
+        out_specs=pl.BlockSpec((BLK // 128, 128), lambda k: (k, 0)),
+        out_shape=jax.ShapeDtypeStruct((nblk * BLK // 128, 128), jnp.float32),
+    )
+    return f(widx, x)
+
+
+def main():
+    wins = [int(a) for a in sys.argv[1:]] or [1024, 2048, 4096, 8192, 16384]
+    rng = np.random.default_rng(0)
+    nblk = 256  # 4M slots
+    for win in wins:
+        # row-matched indices: row i draws window rows == i (mod 8)
+        rows = nblk * BLK // 128
+        r3 = np.broadcast_to((np.arange(rows) % 8)[:, None], (rows, 128))
+        grp = rng.integers(0, win // 1024, size=(rows, 128))
+        lo = rng.integers(0, 128, size=(rows, 128))
+        idx = ((grp * 8 + r3) * 128 + lo).astype(np.uint16)
+        widx = jnp.asarray(idx)
+        x = jnp.asarray(rng.random(win), jnp.float32)
+        ref = None
+        for mode in ("rowscan", "rowmatch"):
+            reps = 40
+            @jax.jit
+            def rep(widx, x):
+                def body(i, c):
+                    y = run(win, mode, nblk, widx, x)
+                    return c + y[0, 0] * jnp.float32(1e-30)
+                return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+            try:
+                r = rep(widx, x)
+                jax.block_until_ready(r)
+            except Exception as e:
+                print(f"win={win} {mode}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:200]}", flush=True)
+                continue
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(rep(widx, x))
+                best = min(best, time.perf_counter() - t0)
+            per = best / (reps * nblk * BLK) * 1e9
+            print(f"win={win} {mode}: {best*1e3:7.1f} ms -> {per:.4f} "
+                  f"ns/slot", flush=True)
+            y = np.asarray(run(win, mode, nblk, widx, x)[:128])
+            if ref is None:
+                ref = y
+            else:
+                print(f"  exact match vs rowscan: {np.array_equal(ref, y)}",
+                      flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -61,8 +61,8 @@ def main():
     xp = jnp.zeros(plan.nx, jnp.float32).at[:n].set(
         jnp.asarray((rng.random(n) * 1e-5).astype(np.float32)))
     reps = max(8, int(1.2e9 // (m * 8)))
-    print(f"classes: {[(w, dev[f'border{w}'].shape[0]) for w in eng.k1_wins]}"
-          f" reps={reps}", flush=True)
+    print(f"classes: {[(w, mo, dev[f'border{w}_{mo}'].shape[0])"
+          f" for w, mo in eng.k1_cls]} reps={reps}", flush=True)
 
     @jax.jit
     def chained(dev, xp):
@@ -73,20 +73,20 @@ def main():
 
     timed(chained, dev, xp, per=reps * m, label="chained (production)")
 
-    for w in eng.k1_wins:
-        border = dev[f"border{w}"]
+    for w, mo in eng.k1_cls:
+        border = dev[f"border{w}_{mo}"]
         nb = border.shape[0]
 
         @jax.jit
-        def perclass(dev, xp, border=border, w=w):
+        def perclass(dev, xp, border=border, w=w, mo=mo):
             def body(i, xp):
                 c = k1_gather(xp, dev["widx"], border, dev["sb"], dev["ws"],
-                              win=w, nslices=plan.nslices)
+                              win=w, nslices=plan.nslices, mode=mo)
                 return xp.at[0].add(c[0, 0] * jnp.float32(1e-30))
             return jax.lax.fori_loop(0, reps, body, xp)
 
         timed(perclass, dev, xp, per=reps * m,
-              label=f"class win={w} ({nb} blocks)")
+              label=f"class win={w} {mo} ({nb} blocks)")
 
     @jax.jit
     def onewin(dev, xp):

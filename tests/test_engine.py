@@ -559,3 +559,56 @@ def test_k2_section_classes_mixed_depths():
     yi_exp = np.full(n, np.iinfo(np.int32).max, np.int32)
     np.minimum.at(yi_exp, dst, xi[src])
     np.testing.assert_array_equal(yi, yi_exp)
+
+
+def test_k1_rowmatch_classes_exact():
+    """Row-matched K1 placement (plan v6): spread srcs trigger the
+    rowmatch mode; results stay fixed-point exact, incl. weighted
+    combine and min reduce.  Hub graphs must fall back to packed
+    placement (saved scan rows = 0)."""
+    import jax.numpy as jnp
+
+    from graph_tpu.engine.engine import EdgeEngine, _k1_classes
+    from graph_tpu.engine.plan import build_plan as _bp
+    from graph_tpu.engine.route import clos_route
+
+    rng_ = np.random.default_rng(41)
+    n = 1 << 16
+    m = 1 << 15
+    src = rng_.integers(0, n, m)
+    dst = rng_.integers(0, n, m)
+    w = (rng_.random(m) * 3).astype(np.float32)
+    # colorer pins the python layout+routing path (the native C++ path
+    # is exercised by test_native.py's layout parity test)
+    plan = _bp(src, dst, n, values=w, colorer=clos_route)
+    cls = _k1_classes(plan)
+    assert any(mode == "rowmatch" for _, mode, _ in cls), cls
+    eng = EdgeEngine(plan, interpret=True)
+    x = (rng_.random(n) * 1e-4).astype(np.float32)
+    y = np.asarray(eng.spmv(jnp.asarray(x)))
+    q = np.round((x[src] * np.float32(1 << 30)).astype(np.float32))
+    acc = np.zeros(n, np.int64)
+    np.add.at(acc, dst, q.astype(np.int64))
+    y_exp = acc.astype(np.int32).astype(np.float32) / np.float32(1 << 30)
+    np.testing.assert_array_equal(y, y_exp)
+    # tropical combine (SSSP relax) through the rowmatch gather
+    d0 = (rng_.random(n) * 10).astype(np.float32)
+    yr = np.asarray(eng.relax(jnp.asarray(d0)))
+    yr_exp = np.full(n, 3.0e38, np.float32)
+    np.minimum.at(yr_exp, dst, (d0[src] + w).astype(np.float32))
+    np.testing.assert_array_equal(yr, yr_exp)
+
+    # hub graph: every tile's slots share one window row -> packed
+    hub_src = np.zeros(m, np.int64)
+    hub_dst = rng_.integers(0, n, m)
+    plan_h = _bp(hub_src, hub_dst, n, colorer=clos_route)
+    # the hub's real blocks must fall back to rowscan (duplicate runs
+    # overflow one VREG row); all-pad blocks may still class rowmatch
+    assert any(mode == "rowscan" for _, mode, _ in _k1_classes(plan_h))
+    eng_h = EdgeEngine(plan_h, interpret=True)
+    yh = np.asarray(eng_h.spmv(jnp.asarray(x)))
+    qh = np.round((x[hub_src] * np.float32(1 << 30)).astype(np.float32))
+    acch = np.zeros(n, np.int64)
+    np.add.at(acch, hub_dst, qh.astype(np.int64))
+    yh_exp = acch.astype(np.int32).astype(np.float32) / np.float32(1 << 30)
+    np.testing.assert_array_equal(yh, yh_exp)
