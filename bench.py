@@ -353,6 +353,30 @@ def bench_all():
         print(json.dumps(line))
 
 
+def probe_backend(timeout_s=420):
+    """Fail fast (and legibly) when the TPU tunnel is unreachable.
+
+    Backend init hangs forever inside ``make_c_api_client`` when the
+    axon relay is down; without this probe the driver's bench run would
+    stall silently.  Probes in a subprocess so the hang is killable.
+    """
+    import subprocess
+
+    code = ("import jax; d = jax.devices(); "
+            "print('PROBE-OK', d[0].platform)")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True,
+                           timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        raise SystemExit(
+            f"bench: TPU backend init did not complete in {timeout_s}s "
+            "(axon tunnel down?) — refusing to hang; no GTEPS reported")
+    if "PROBE-OK" not in r.stdout:
+        raise SystemExit(
+            "bench: TPU backend probe failed:\n" + r.stderr[-2000:])
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -360,6 +384,7 @@ def main():
     from graph_tpu import enable_compile_cache
 
     enable_compile_cache()
+    probe_backend()
 
     if os.environ.get("BENCH_ALL"):
         return bench_all()

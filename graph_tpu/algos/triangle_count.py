@@ -209,11 +209,16 @@ def _run_join(mats, cross, ev, ew, cross_full=None):
                 constant_values=SENT + 1)
     ev_dev = jnp.asarray(ev.astype(np.int32))
     ew_dev = jnp.asarray(ew.astype(np.int32))
-    total = 0
+    # per-slab counts stay DEVICE scalars until the end: a host
+    # ``int()`` per slab would serialize the host-side packing of slab
+    # k+1 behind the device join of slab k (and pay the ~30 ms tunnel
+    # dispatch floor per sync).  Summed as python ints afterwards so
+    # totals beyond int32 don't need x64 mode.
+    slab_counts = []
     pend_v, pend_w, pend = [], [], 0
 
     def flush(force=False):
-        nonlocal total, pend_v, pend_w, pend
+        nonlocal pend_v, pend_w, pend
         while pend >= SLAB or (force and pend > 0):
             # full slabs use the fixed SLAB shape (one compile); the
             # final partial slab pads to the next power of two so tiny
@@ -242,7 +247,7 @@ def _run_join(mats, cross, ev, ew, cross_full=None):
                 take_w.append(jnp.full(pad, SENT, jnp.int32))
             v = jnp.concatenate(take_v)
             w = jnp.concatenate(take_w)
-            total += int(_join_count(v, w, ev_dev, ew_dev))
+            slab_counts.append(_join_count(v, w, ev_dev, ew_dev))
             pend_v, pend_w = rest_v, rest_w
             pend = sum(x.shape[0] for x in pend_v)
 
@@ -272,7 +277,7 @@ def _run_join(mats, cross, ev, ew, cross_full=None):
                                jnp.asarray(B[r0 : r0 + rows_per]))
             push(v, w)
     flush(force=True)
-    return total
+    return sum(int(c) for c in slab_counts)
 
 
 # ---------------------------------------------------------------------------
