@@ -137,7 +137,8 @@ PLAN_CACHE = os.environ.get("GRAPH_TPU_PLAN_CACHE",
 
 def cached_rmat(scale, edge_factor=16, seed=42):
     """host_rmat with a content-keyed disk cache (same seed stream)."""
-    path = os.path.join(BENCH_CACHE, f"rmat_s{scale}_{seed}.npz")
+    ef = "" if edge_factor == 16 else f"_ef{edge_factor}"
+    path = os.path.join(BENCH_CACHE, f"rmat_s{scale}_{seed}{ef}.npz")
     try:
         if os.path.exists(path):
             z = np.load(path)

@@ -162,6 +162,11 @@ def page_rank(
             "default mesh ignored", config.engine)
         mesh = None
     if mesh is not None:
+        if config.log_progress:
+            logger.info(
+                "page_rank: log_progress is not supported on the meshed "
+                "path (device-resident sharded loop); running without "
+                "per-iteration logs")
         return _page_rank_meshed(graph, config, mesh)
     engine = config.engine
     if engine == "auto":

@@ -325,8 +325,7 @@ def global_triangle_count(graph: UndirectedCsrGraph) -> TriangleCountResult:
     # available — numpy lexsort costs minutes at scale 20+ on this host
     from graph_tpu.native.host_csr import tc_orient_native
 
-    nat = tc_orient_native(srcs.astype(np.int32), tgts.astype(np.int32), n) \
-        if n < (1 << 31) else None
+    nat = tc_orient_native(srcs.astype(np.int32), tgts.astype(np.int32), n)
     if nat is not None:
         a, b = nat[0].astype(np.int64), nat[1].astype(np.int64)
     else:

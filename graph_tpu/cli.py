@@ -211,10 +211,13 @@ def main(argv=None):
 
         g = _load(args)
         # -v -v: per-iteration error/time lines, like the reference app
-        # (page_rank.rs:98-103 logs each iteration at info level)
+        # (page_rank.rs:98-103 logs each iteration at info level).
+        # verbose counts from 1 (info is the default level), so two -v
+        # flags reach 3 — a single -v must NOT silently trade the
+        # device-resident while_loop for a host sync per iteration.
         cfg = PageRankConfig(args.max_iterations, args.tolerance,
                              args.damping_factor,
-                             log_progress=args.verbose >= 2)
+                             log_progress=args.verbose >= 3)
 
         def run():
             res = page_rank(g, cfg)

@@ -100,7 +100,6 @@ def _k2_classes(plan):
     row_need = np.zeros(nsec, np.int64)
     lane = np.arange(128)[None, None, :]
     rowstart = (np.arange(SEC_R) * 128)[None, :, None]
-    rowid = np.arange(SEC_R)[None, :]
     pos = (rowstart + lane)  # (1, SEC_R, 128) sorted-layout positions
     for lo in range(0, nsec, 64):  # chunked: the temps are nsec*256KB
         hi = min(lo + 64, nsec)
@@ -191,7 +190,7 @@ class EdgeEngine:
 
         p = self.plan
         classes = getattr(self, "k2_classes", None)
-        if not classes or f"k2sel0" not in dev:
+        if not classes or "k2sel0" not in dev:
             return k2_reduce(contrib, dev["wa"], dev["wb"], dev["sstart"],
                              dev["wa2"], dev["wb2"], dev["sec_mid"], p.nmid,
                              op=op, interpret=self.interpret)

@@ -217,8 +217,10 @@ def plan_cache_path(cache_dir: str, src, dst, n: int, values=None,
     h.update(np.asarray([n, np.asarray(src).size, EdgePlan.FORMAT_VERSION,
                          win or 0, nslices or 0],
                         np.int64).tobytes())
-    h.update(tag.encode())
-    h.update((relabel or "").encode())
+    # NUL separators: concatenated free-form strings must not collide
+    # across fields (tag="degree" vs relabel="degree")
+    h.update(tag.encode() + b"\0")
+    h.update((relabel or "").encode() + b"\0")
     h.update(np.ascontiguousarray(src).tobytes())
     h.update(np.ascontiguousarray(dst).tobytes())
     if values is not None:

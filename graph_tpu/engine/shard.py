@@ -234,16 +234,6 @@ class RowBlockEdgeEngine:
         """Strip the leading shard axis inside ``shard_map``."""
         return {k: v[0] for k, v in dev_stacked.items() if k != "send_idx"}
 
-    def local_apply(self, dev_local, halo_values, *, combine="none",
-                    reduce="sum"):
-        """One local edge-map-reduce over this chip's rows.
-
-        halo_values: (P*H,) the exchanged halo buffer (see
-        parallel.halo.exchange); returns (rows_per,) local y.
-        """
-        return self.template.apply_dev(dev_local, halo_values,
-                                       combine=combine, reduce=reduce)
-
     # -- one-shot sharded ops (x and y are global row-sharded vectors)
 
     def _run(self, fn_name, x, **kw):

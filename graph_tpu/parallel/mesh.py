@@ -42,7 +42,7 @@ def mesh_key(mesh: Mesh) -> tuple:
     the same id-reuse hazard ``engine_for`` guards against for graphs.
     Axis names + device ids are stable for the lifetime of the process.
     """
-    return (tuple(mesh.axis_names),
+    return (tuple(mesh.axis_names), mesh.devices.shape,
             tuple(int(d.id) for d in mesh.devices.flat))
 
 

@@ -210,8 +210,7 @@ def page_rank_rowblock(rbe, config: Optional[PageRankConfig] = None
         tpl = rbe.template
 
         def shard_fn(dev_stacked, outdeg, tol, d):
-            dev = {k: v[0] for k, v in dev_stacked.items()
-                   if k != "send_idx"}
+            dev = rbe.local_dev(dev_stacked)
             send = dev_stacked["send_idx"][0]
             outdeg = outdeg[0]
             me = jax.lax.axis_index(axis)

@@ -108,8 +108,7 @@ def sssp_rowblock(rbe, config: DeltaSteppingConfig) -> SsspResult:
     run = getattr(rbe, "_sssp_run", None)
     if run is None:
         def shard_fn(dev_stacked, start_node):
-            dev = {k: v[0] for k, v in dev_stacked.items()
-                   if k != "send_idx"}
+            dev = rbe.local_dev(dev_stacked)
             send = dev_stacked["send_idx"][0]
             me = jax.lax.axis_index(axis)
             local = me * rows_per + jnp.arange(rows_per, dtype=jnp.int32)

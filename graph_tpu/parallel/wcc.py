@@ -150,8 +150,7 @@ def wcc_rowblock(rbe, config: Optional[WccConfig] = None,
     run = runs.get(jump_every)
     if run is None:
         def shard_fn(dev_stacked):
-            dev = {k: v[0] for k, v in dev_stacked.items()
-                   if k != "send_idx"}
+            dev = rbe.local_dev(dev_stacked)
             send = dev_stacked["send_idx"][0]
             me = jax.lax.axis_index(axis)
             comp0 = me * rows_per + jnp.arange(rows_per, dtype=jnp.int32)

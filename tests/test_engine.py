@@ -612,3 +612,30 @@ def test_k1_rowmatch_classes_exact():
     np.add.at(acch, hub_dst, qh.astype(np.int64))
     yh_exp = acch.astype(np.int32).astype(np.float32) / np.float32(1 << 30)
     np.testing.assert_array_equal(yh, yh_exp)
+
+
+def test_plan_cache_key_separates_tag_and_relabel():
+    """Free-form key fields must not collide across positions:
+    (tag="degree", relabel=None) and (tag="", relabel="degree") are
+    different plans (one has a perm, one does not)."""
+    from graph_tpu.engine.plan import plan_cache_path
+
+    src = np.arange(10, dtype=np.int64)
+    dst = (src + 1) % 10
+    a = plan_cache_path("/c", src, dst, 10, tag="degree", relabel=None)
+    b = plan_cache_path("/c", src, dst, 10, tag="", relabel="degree")
+    assert a != b
+
+
+def test_mesh_key_includes_shape():
+    """Two meshes over the same flat devices but different axis shapes
+    must not share sharded-engine cache entries."""
+    import jax
+    from jax.sharding import Mesh
+
+    from graph_tpu.parallel.mesh import mesh_key
+
+    devs = np.asarray(jax.devices()[:4])
+    m1 = Mesh(devs.reshape(1, 4), ("a", "b"))
+    m2 = Mesh(devs.reshape(2, 2), ("a", "b"))
+    assert mesh_key(m1) != mesh_key(m2)
