@@ -97,3 +97,26 @@ def test_profile_flag_writes_trace(test_el_path, tmp_path):
                 "--profile", d]) == 0
     found = [f for _, _, fs in os.walk(d) for f in fs]
     assert found, "no trace files captured"
+
+
+def test_verbose_once_keeps_device_loop(test_el_path, monkeypatch):
+    """A single -v must not enable log_progress (the per-iteration
+    host-synced loop); only -v -v does, as documented in the README."""
+    import graph_tpu.cli as cli
+
+    seen = {}
+
+    def fake_page_rank(g, cfg):
+        seen["log_progress"] = cfg.log_progress
+
+        class R:
+            ran_iterations = 1
+            error = 0.0
+        return R()
+
+    import graph_tpu.algos.pagerank as pr
+    monkeypatch.setattr(pr, "page_rank", fake_page_rank)
+    run(["page-rank", "-p", test_el_path, "-r", "1", "-w", "0", "-v"])
+    assert seen["log_progress"] is False
+    run(["page-rank", "-p", test_el_path, "-r", "1", "-w", "0", "-v", "-v"])
+    assert seen["log_progress"] is True
