@@ -28,4 +28,8 @@ run python scripts/tpu_smoke.py 19
 run python scripts/perf_attr.py 22 0 0 degree
 run python scripts/perf_attr.py 22 0 0 none
 run python bench.py
+# full capture in case the tunnel recovered late in the round: the
+# per-algorithm suite and the scale-24 refresh (plans are prewarmed)
+run env BENCH_ALL=1 python bench.py
+run env BENCH_SCALE=24 python bench.py
 echo "== measure_r3 done $(date +%H:%M:%S)" >> "$LOG"
