@@ -354,7 +354,7 @@ def bench_all():
         print(json.dumps(line))
 
 
-def probe_backend(timeout_s=420):
+def probe_backend(timeout_s=int(os.environ.get("BENCH_PROBE_TIMEOUT", "240"))):
     """Fail fast (and legibly) when the TPU tunnel is unreachable.
 
     Backend init hangs forever inside ``make_c_api_client`` when the
