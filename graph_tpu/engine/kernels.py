@@ -47,9 +47,18 @@ MID = 65536            # destinations per mid
 FIXED_BITS = 30        # fixed-point fraction bits
 
 
+def _pmod(a, n):
+    """Python-semantics a mod n (n a positive python int) on traced
+    int32 scalars; lax.rem keeps the dividend's sign, so fix up."""
+    if n & (n - 1) == 0:
+        return a & (n - 1)
+    r = jax.lax.rem(a, jnp.int32(n))
+    return jnp.where(r < 0, r + n, r)
+
+
 def _k1_kernel(border_ref, sb_ref, ws_ref, x_refs, widx_ref, out_ref,
                xs_ref, *, win=WIN, ew_ref=None, combine="none",
-               mode="rowscan"):
+               mode="rowscan", modular=False):
     """Windowed gather; optionally combines a per-edge weight stream:
     combine="add" -> x[src] + w (tropical, SSSP relaxation),
     combine="mul" -> x[src] * w (weighted SpMV).
@@ -75,17 +84,45 @@ def _k1_kernel(border_ref, sb_ref, ws_ref, x_refs, widx_ref, out_ref,
     prev_blk = border_ref[jnp.maximum(k - 1, 0)].astype(jnp.int32)
     # compare via int32 subtraction: a direct != on (u)int16 scalars
     # emits an i16 cmpi Mosaic cannot legalize
-    sb_delta = (sb_ref[blk].astype(jnp.int32) * 2
-                - sb_ref[prev_blk].astype(jnp.int32) * 2) // 2
+    cb = sb_ref[blk].astype(jnp.int32) * 2 // 2
+    pb = sb_ref[prev_blk].astype(jnp.int32) * 2 // 2
+    nsl = len(x_refs)
 
-    @pl.when((k == 0) | (sb_delta != 0))
-    def _():
+    if modular and nsl > 1:
+        # Modular stream assignment (round 3): stream i always carries
+        # the slice s with s mod nslices == i (s = sb + ((i - sb) mod
+        # n)), so a +1 slice-base step changes ONE stream's block index
+        # — the pallas pipeline re-fetches one slice from HBM instead
+        # of all nslices (~n x less x traffic; ~24% of K1 bytes at the
+        # scale-22 win-16384/8-slice config).  Scratch keeps slice s at
+        # modular position (s mod n); position n mirrors position 0 so
+        # windows that straddle modular n-1 -> 0 read contiguously.
         for i, xr in enumerate(x_refs):
-            xs_ref[i * SLICE:(i + 1) * SLICE] = xr[:]
+            si_c = cb + _pmod(i - cb, nsl)
+            si_p = pb + _pmod(i - pb, nsl)
+
+            @pl.when((k == 0) | (si_c != si_p))
+            def _(xr=xr, i=i):
+                xs_ref[i * SLICE:(i + 1) * SLICE] = xr[:]
+                if i == 0:
+                    xs_ref[nsl * SLICE:(nsl + 1) * SLICE] = xr[:]
+    else:
+        @pl.when((k == 0) | (cb != pb))
+        def _():
+            for i, xr in enumerate(x_refs):
+                xs_ref[i * SLICE:(i + 1) * SLICE] = xr[:]
 
     def tile_body(t, _):
-        start = pl.multiple_of(
-            ws_ref[blk * TPB + t].astype(jnp.int32) * 1024, 1024)
+        span_start = ws_ref[blk * TPB + t].astype(jnp.int32) * 1024
+        if modular and nsl > 1:
+            # span coords -> modular scratch coords (window fits within
+            # two consecutive slices: win <= SLICE; the straddle past
+            # modular n-1 lands in the mirror slot)
+            j = span_start >> 15            # // SLICE (32768)
+            off = span_start & (SLICE - 1)
+            start = pl.multiple_of(_pmod(cb + j, nsl) * SLICE + off, 1024)
+        else:
+            start = pl.multiple_of(span_start, 1024)
         w = xs_ref[pl.ds(start, win)].reshape(win // 128, 128)
         idx = widx_ref[pl.ds(t * 8, 8), :].astype(jnp.int32)  # window-local
         lo = idx & 127
@@ -116,7 +153,7 @@ def _k1_kernel(border_ref, sb_ref, ws_ref, x_refs, widx_ref, out_ref,
 
 def k1_gather(x_padded, widx, border, sb, ws, *, win=WIN, nslices=NSLICES,
               weights=None, combine="add", out_init=None, interpret=False,
-              mode="rowscan"):
+              mode="rowscan", modular=None):
     """Per-edge gather: out[i] = x_padded[plan position of slot i].
 
     x_padded: (nx,) f32, nx a multiple of SLICE (>= (max(sb)+NSLICES)*SLICE).
@@ -141,13 +178,26 @@ def k1_gather(x_padded, widx, border, sb, ws, *, win=WIN, nslices=NSLICES,
     nblk = border.shape[0]
     n_in = ((1 + nslices) if weights is None else (2 + nslices)) + (
         0 if out_init is None else 1)
+    if modular is None:
+        import os
+        modular = os.environ.get("GRAPH_TPU_K1_MODXS", "1") != "0"
+    modular = modular and nslices > 1 and win <= SLICE
 
     def _i(v):  # index maps must return signed integer scalars
         return v.astype(jnp.int32)
 
     def _xspec(i):
-        return pl.BlockSpec(
-            (SLICE,), lambda k, bo, sb, ws, i=i: (_i(sb[bo[k]]) + i,))
+        if modular:
+            # stream i carries slice sb + ((i - sb) mod nslices): a +1
+            # slice-base step leaves all but one stream's index alone,
+            # so the pipeline skips their HBM fetches
+            def imap(k, bo, sb, ws, i=i):
+                base = _i(sb[bo[k]])
+                return (base + (i - base) % nslices,)
+        else:
+            def imap(k, bo, sb, ws, i=i):
+                return (_i(sb[bo[k]]) + i,)
+        return pl.BlockSpec((SLICE,), imap)
 
     blockspec = pl.BlockSpec((BLK // 128, 128),
                              lambda k, bo, sb, ws: (_i(bo[k]), 0))
@@ -157,14 +207,15 @@ def k1_gather(x_padded, widx, border, sb, ws, *, win=WIN, nslices=NSLICES,
         in_specs=[_xspec(i) for i in range(nslices)]
         + [blockspec] * (n_in - nslices),
         out_specs=blockspec,
-        scratch_shapes=[pltpu.VMEM((nslices * SLICE,), x_padded.dtype)],
+        scratch_shapes=[pltpu.VMEM(
+            ((nslices + (1 if modular else 0)) * SLICE,), x_padded.dtype)],
     )
     if weights is None:
         def kernel(border_ref, sb_ref, ws_ref, *rest):
             x_refs = rest[:nslices]
             widx_ref, out_ref, xs_ref = rest[nslices], rest[-2], rest[-1]
             _k1_kernel(border_ref, sb_ref, ws_ref, x_refs, widx_ref,
-                       out_ref, xs_ref, win=win, mode=mode)
+                       out_ref, xs_ref, win=win, mode=mode, modular=modular)
         args = [border, sb, ws] + [x_padded] * nslices + [widx]
     else:
         def kernel(border_ref, sb_ref, ws_ref, *rest):
@@ -173,7 +224,7 @@ def k1_gather(x_padded, widx, border, sb, ws, *, win=WIN, nslices=NSLICES,
             out_ref, xs_ref = rest[-2], rest[-1]
             _k1_kernel(border_ref, sb_ref, ws_ref, x_refs, widx_ref,
                        out_ref, xs_ref, win=win, ew_ref=ew_ref,
-                       combine=combine, mode=mode)
+                       combine=combine, mode=mode, modular=modular)
         args = [border, sb, ws] + [x_padded] * nslices + [widx, weights]
     aliases = {}
     if out_init is not None:

@@ -639,3 +639,42 @@ def test_mesh_key_includes_shape():
     m1 = Mesh(devs.reshape(1, 4), ("a", "b"))
     m2 = Mesh(devs.reshape(2, 2), ("a", "b"))
     assert mesh_key(m1) != mesh_key(m2)
+
+
+@pytest.mark.parametrize("win,nslices,n", [(None, None, 3 * SLICE + 500),
+                                           (16384, 8, 9 * SLICE + 77)])
+def test_k1_modular_slice_streams_multislice(win, nslices, n):
+    """Modular x-slice streams (round 3): a multi-slice graph (sb > 0,
+    windows straddling the modular wraparound into the mirror slot)
+    must produce the same spmv as the legacy all-restage staging."""
+    import os
+
+    import jax.numpy as jnp
+
+    from graph_tpu.engine.engine import EdgeEngine
+
+    m = n + n // 2
+    src, dst = _random_graph(n, m, seed=23)
+    kw = {} if win is None else {"win": win, "nslices": nslices}
+    plan = build_plan(src, dst, n, **kw)
+    assert int(plan.sb.max()) > 0, "test must span multiple x slices"
+    eng = EdgeEngine(plan, interpret=True)
+    # keep the in-hub destination's sum below the spmv fixed-point
+    # bound of 2 (m/8 edges land on one node)
+    x = (rng.random(n) * 1e-6).astype(np.float32)
+    old = os.environ.get("GRAPH_TPU_K1_MODXS")
+    try:
+        os.environ["GRAPH_TPU_K1_MODXS"] = "1"
+        y_mod = np.asarray(eng.spmv(jnp.asarray(x)))
+        os.environ["GRAPH_TPU_K1_MODXS"] = "0"
+        y_leg = np.asarray(eng.spmv(jnp.asarray(x)))
+    finally:
+        if old is None:
+            os.environ.pop("GRAPH_TPU_K1_MODXS", None)
+        else:
+            os.environ["GRAPH_TPU_K1_MODXS"] = old
+    np.testing.assert_array_equal(y_mod, y_leg)
+    y_exp = np.zeros(n, np.float64)
+    np.add.at(y_exp, dst,
+              np.round(x[src].astype(np.float64) * (1 << 30)) / (1 << 30))
+    assert np.abs(y_mod - y_exp).max() < 1e-6
