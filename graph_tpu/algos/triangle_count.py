@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 
 import jax
@@ -61,8 +62,11 @@ from graph_tpu.graph.csr import CsrLayout, UndirectedCsrGraph
 CLASS_CAPS = (4, 8, 16, 32, 64)
 #: Sentinel id (sorts after any real id; never matches an edge key).
 SENT = 1 << 29
-#: Wedge slots per join slab (static sort shape; larger slabs OOM the remote XLA compiler).
-SLAB = 1 << 25
+#: Wedge slots per join slab (static sort shape).  2^25 was the round-2
+#: ceiling — the old 27-pass scan graph OOMed the remote XLA compiler
+#: above 2^26; the cummax join compiles far smaller, so larger slabs
+#: are worth probing on hardware (override via GRAPH_TPU_TC_SLAB).
+SLAB = int(os.environ.get("GRAPH_TPU_TC_SLAB", 1 << 25))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -97,33 +101,29 @@ def _emit_cross(rows_a: jax.Array, rows_b: jax.Array):
 
 @jax.jit
 def _join_count(v: jax.Array, w: jax.Array, ev: jax.Array, ew: jax.Array):
-    """Count wedges (v, w) that match an edge (ev, ew).
+    """Count wedges (v, w) for which an edge (ev, ew) exists.
 
-    Tag bit in the minor key makes edges sort before same-key wedges;
-    a segmented scan carries the per-run edge count (int32-exact: runs
-    and slabs are < 2^31 elements).
+    Tag bit in the minor key makes edges sort before same-key wedges.
+    A wedge matches iff its key run contains an edge, i.e. iff the most
+    recent edge position is at or after the wedge's run start — two
+    ``lax.cummax`` running maxima over int32 positions (native XLA
+    cumulative ops; the round-2 hand-rolled 27-pass key-masked shift
+    scan cost ~13 full-array ops per pass and dominated the join).
+    Edge keys need not be unique: any edge in the run satisfies the
+    test, so multiplicity does not change the 0/1 membership semantics.
     """
     vv = jnp.concatenate([v, ev])
     ww = jnp.concatenate([w * 2 + 1, ew * 2])
     sv, swt = jax.lax.sort((vv, ww), num_keys=2)
-    sw = swt >> 1
     is_edge = (swt & 1) == 0
 
-    # segmented (key-equality) inclusive sum scan, Hillis-Steele style:
-    # combining at distance sh is valid iff the key sh back is equal
-    # (keys are grouped after the sort).  A hand-rolled shift-pad loop —
-    # lax.associative_scan on non-power-of-two lengths builds a ragged
-    # recursion the remote XLA compiler chokes on.
-    cnt = jnp.where(is_edge, 1, 0).astype(jnp.int32)
-    total = sv.shape[0]
-    sh = 1
-    while sh < total:
-        pv = jnp.concatenate([jnp.full(sh, -1, sv.dtype), sv[:-sh]])
-        pw = jnp.concatenate([jnp.full(sh, -1, sw.dtype), sw[:-sh]])
-        pc = jnp.concatenate([jnp.zeros(sh, jnp.int32), cnt[:-sh]])
-        cnt = cnt + jnp.where((pv == sv) & (pw == sw), pc, 0)
-        sh *= 2
-    return jnp.sum(jnp.where(is_edge, 0, cnt))
+    idx = jnp.arange(sv.shape[0], dtype=jnp.int32)
+    boundary = jnp.concatenate(
+        [jnp.ones(1, jnp.bool_),
+         (sv[1:] != sv[:-1]) | (swt[1:] >> 1 != swt[:-1] >> 1)])
+    run_start = jax.lax.cummax(jnp.where(boundary, idx, 0))
+    last_edge = jax.lax.cummax(jnp.where(is_edge, idx, -1))
+    return jnp.sum((~is_edge) & (last_edge >= run_start))
 
 
 # ---------------------------------------------------------------------------

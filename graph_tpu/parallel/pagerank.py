@@ -285,8 +285,9 @@ def _pagerank_sharded_fn(mesh: Mesh, axis: str, max_iterations: int, n: int):
         inv_outdeg = jnp.where(outdeg > 0, 1.0 / jnp.maximum(outdeg, 1.0), 0.0)
 
         # initial carry must be marked device-varying for the while_loop
-        scores0 = jax.lax.pvary(
-            jnp.full((rows_per,), init, dtype=jnp.float32), (axis,)
+        scores0 = jax.lax.pcast(
+            jnp.full((rows_per,), init, dtype=jnp.float32), (axis,),
+            to="varying",
         )
         out0 = scores0 * inv_outdeg
 
@@ -346,8 +347,9 @@ def _pagerank_ring_fn(mesh: Mesh, axis: str, max_iterations: int, n: int):
         base = (1.0 - d) / nf
         inv_outdeg = jnp.where(outdeg > 0, 1.0 / jnp.maximum(outdeg, 1.0),
                                0.0)
-        scores0 = jax.lax.pvary(
-            jnp.full((rows_per,), init, dtype=jnp.float32), (axis,))
+        scores0 = jax.lax.pcast(
+            jnp.full((rows_per,), init, dtype=jnp.float32), (axis,),
+            to="varying")
         out0 = scores0 * inv_outdeg
 
         def cond(state):
