@@ -61,7 +61,9 @@ class EdgePlan:
     nslices: int         # x slices staged per block (block-span budget)
     widx: np.ndarray     # (nslots//128, 128) uint16
     sb: np.ndarray       # (nblocks,) uint16/int32 (see _block_dtype)
-    ws: np.ndarray       # (ntiles,) uint8: window start / 1024
+    ws: np.ndarray       # (ntiles,) uint8/uint16: window start / 1024
+    #   (uint8 when nslices*SLICE - win fits 255 KiB; wide-slice configs
+    #    like (16384, 16) need uint16 — the kernel upcasts either way)
     border: np.ndarray   # (nblocks,) uint16/int32 grid order
     weights: "np.ndarray | None"  # (nslots//128, 128) f32 per-slot weights
     # K2
@@ -169,8 +171,20 @@ class EdgePlan:
 #: at large src gaps (scale 24: gap ~16 -> 16K slots span 262K srcs).
 #: WIN_COST_RATIO is the measured ratio of a tile's fixed cost (IO +
 #: K2 share) to one window-row scan (~0.12 ns / 0.0024 ns).
-WIN_CANDIDATES = ((2048, 3), (4096, 3), (8192, 3), (16384, 8))
+#: (16384, 16) listed before (16384, 8) so dict(WIN_CANDIDATES) keeps
+#: nslices=8 as the default for an explicit win=16384 request; the
+#: auto-pick iterates all entries.  16 staged slices halve the pad at
+#: large src gaps (scale 24) and cost almost nothing with the modular
+#: x-slice streams (one slice re-fetched per slice-base step).
+WIN_CANDIDATES = ((2048, 3), (4096, 3), (8192, 3), (16384, 16),
+                  (16384, 8))
 WIN_COST_RATIO = 48
+
+
+def _ws_dtype(win: int, nslices: int):
+    """Narrowest dtype for window starts / 1024 (SMEM prefetch budget);
+    the largest start is nslices*SLICE - win (plan layout clamp)."""
+    return np.uint8 if (nslices * SLICE - win) // 1024 <= 255 else np.uint16
 
 
 def _block_dtype(nblocks: int):
@@ -193,7 +207,9 @@ def pick_win(counts_by_cfg) -> tuple:
              for cfg, (ns, rc) in counts_by_cfg.items()}
     cmin = min(costs.values())
     near = [cfg for cfg, c in costs.items() if c <= cmin * 1.05]
-    return min(near, key=lambda cfg: counts_by_cfg[cfg][0])
+    # fewest slots first; on equal slots prefer fewer staged slices
+    # (smaller VMEM scratch, cheaper non-modular fallback)
+    return min(near, key=lambda cfg: (counts_by_cfg[cfg][0], cfg[1]))
 
 
 def plan_cache_path(cache_dir: str, src, dst, n: int, values=None,
@@ -480,7 +496,7 @@ def build_plan(
         n=n, m=m, nslots=nslots, nmid=nmid, nsec=nsec, nx=nx, win=win,
         nslices=nslices,
         widx=widx_flat.reshape(-1, 128), sb=sb,
-        ws=(ws // 1024).astype(np.uint8), border=border,
+        ws=(ws // 1024).astype(_ws_dtype(win, nslices)), border=border,
         weights=None if wvals is None else wvals.reshape(-1, 128),
         wa=wa, wb=wb, sstart=sstart, wa2=wa2, wb2=wb2,
         sec_mid=sec_mid_arr, perm=perm, n_src=n_src or 0,
@@ -722,7 +738,8 @@ def _build_plan_native(src, dst, n, values, m, nmid, t0, win=0, nslices=0,
         n=n, m=m, nslots=nslots, nmid=lay["nmid"], nsec=nsec, nx=nx,
         win=lay["win"], nslices=nsl,
         widx=lay["widx"].reshape(-1, 128), sb=sb,
-        ws=(lay["ws"] // 1024).astype(np.uint8), border=border,
+        ws=(lay["ws"] // 1024).astype(_ws_dtype(lay["win"], nsl)),
+        border=border,
         weights=None if wvals is None else wvals.reshape(-1, 128),
         wa=wa_f.reshape(nsec * SEC_R, 128),
         wb=wb_f.reshape(nsec * SEC_R, 128),

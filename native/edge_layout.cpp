@@ -29,8 +29,10 @@ constexpr int64_t NSLICES = 3;
 // plan.py: cost = nslots * (WIN_COST_RATIO + win/128)).  The 16384
 // window pairs with 8 staged slices: the block-span budget
 // (nslices*SLICE) otherwise binds pad growth at large src gaps.
-constexpr int64_t WIN_CANDIDATES[4] = {2048, 4096, 8192, 16384};
-constexpr int64_t NSLICE_CANDIDATES[4] = {3, 3, 3, 8};
+// (16384, 16) halves pad at large src gaps; nearly free in HBM
+// traffic with the modular x-slice streams (kernels.py round 3).
+constexpr int64_t WIN_CANDIDATES[5] = {2048, 4096, 8192, 16384, 16384};
+constexpr int64_t NSLICE_CANDIDATES[5] = {3, 3, 3, 8, 16};
 constexpr int64_t WIN_COST_RATIO = 48;
 constexpr int64_t SEC = 65536;
 constexpr int64_t MID = 65536;
@@ -284,7 +286,7 @@ GtLayout* gt_build_layout(const int64_t* src, const int64_t* dst,
     std::vector<int64_t> mid_slots(nmid);
     if (win && !nslices) nslices = NSLICES;
     {
-        int ncand = win ? 1 : 4;
+        int ncand = win ? 1 : 5;
         std::vector<std::vector<int64_t>> counts(
             ncand, std::vector<int64_t>(nmid));
         std::vector<std::vector<int64_t>> rowcosts(
@@ -315,7 +317,7 @@ GtLayout* gt_build_layout(const int64_t* src, const int64_t* dst,
             // graph-max window — a wide window is nearly free for
             // blocks with tight spans, so pad is no longer bought to
             // shrink windows the scan never runs.
-            int64_t cost[4], nsl[4], cmin = -1;
+            int64_t cost[5], nsl[5], cmin = -1;
             for (int c = 0; c < ncand; c++) {
                 nsl[c] = 0;
                 int64_t rc = 0;
@@ -330,8 +332,11 @@ GtLayout* gt_build_layout(const int64_t* src, const int64_t* dst,
             int best = 0;
             int64_t best_ns = -1;
             for (int c = 0; c < ncand; c++) {
+                // fewest slots; on ties prefer fewer staged slices
                 if (cost[c] * 20 <= cmin * 21 &&
-                    (best_ns < 0 || nsl[c] < best_ns)) {
+                    (best_ns < 0 || nsl[c] < best_ns ||
+                     (nsl[c] == best_ns &&
+                      NSLICE_CANDIDATES[c] < NSLICE_CANDIDATES[best]))) {
                     best = c;
                     best_ns = nsl[c];
                 }

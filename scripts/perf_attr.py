@@ -101,6 +101,23 @@ def main():
 
     t_k1 = timed_loop(k1_loop, dev, xp, label="k1", per=reps * m)
 
+    if plan.nslices > 1:
+        # A/B the modular x-slice streams (GRAPH_TPU_K1_MODXS, read at
+        # trace time) against the legacy all-restage staging
+        os.environ["GRAPH_TPU_K1_MODXS"] = "0"
+        try:
+            @jax.jit
+            def k1_legacy_loop(dev, xp):
+                def body(i, xp):
+                    c = eng._k1(dev, xp)
+                    return xp + c[0, 0] * jnp.float32(1e-30)
+                return jax.lax.fori_loop(0, reps, body, xp)
+
+            timed_loop(k1_legacy_loop, dev, xp, label="k1[modxs=0]",
+                       per=reps * m)
+        finally:
+            os.environ.pop("GRAPH_TPU_K1_MODXS", None)
+
     contrib0 = eng._k1(dev, xp)
 
     @jax.jit

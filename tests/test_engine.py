@@ -642,7 +642,8 @@ def test_mesh_key_includes_shape():
 
 
 @pytest.mark.parametrize("win,nslices,n", [(None, None, 3 * SLICE + 500),
-                                           (16384, 8, 9 * SLICE + 77)])
+                                           (16384, 8, 9 * SLICE + 77),
+                                           (16384, 16, 18 * SLICE + 99)])
 def test_k1_modular_slice_streams_multislice(win, nslices, n):
     """Modular x-slice streams (round 3): a multi-slice graph (sb > 0,
     windows straddling the modular wraparound into the mirror slot)

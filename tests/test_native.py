@@ -100,3 +100,35 @@ def test_host_csr_native_matches_numpy():
     oo = np.lexsort((b, a))
     np.testing.assert_array_equal(a_n, a[oo])
     np.testing.assert_array_equal(b_n, b[oo])
+
+
+def test_native_layout_parity_with_python():
+    """The C++ layout builder (the build_plan default) must make the
+    same auto-pick and produce the same spmv as the python path —
+    including the (16384, 16) wide-slice candidate added in round 3."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from graph_tpu.engine.engine import EdgeEngine
+    from graph_tpu.engine.native_route import build_layout_native
+    from graph_tpu.engine.plan import build_plan
+    from graph_tpu.engine.route import clos_route
+
+    if build_layout_native(np.zeros(1, np.int64), np.zeros(1, np.int64),
+                           n=1) is None:
+        import pytest
+
+        pytest.skip("native layout unavailable")
+    rng = np.random.default_rng(17)
+    n, m = 1 << 17, 1 << 16
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    p_nat = build_plan(src, dst, n)             # native default
+    p_py = build_plan(src, dst, n, colorer=clos_route)
+    assert (p_nat.win, p_nat.nslices) == (p_py.win, p_py.nslices)
+    assert p_nat.nslots == p_py.nslots
+    assert p_nat.ws.dtype == p_py.ws.dtype
+    x = (rng.random(n) * 1e-5).astype(np.float32)
+    y_nat = np.asarray(EdgeEngine(p_nat, interpret=True).spmv(jnp.asarray(x)))
+    y_py = np.asarray(EdgeEngine(p_py, interpret=True).spmv(jnp.asarray(x)))
+    np.testing.assert_array_equal(y_nat, y_py)
