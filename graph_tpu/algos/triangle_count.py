@@ -199,10 +199,14 @@ def _run_join(mats, cross, ev, ew, cross_full=None):
     products are the wedges G(v) x F(v); ``mats``/``cross`` cover the
     intra-list pair semantics (distinct path).
     """
-    # pad edges to a power of two with a sentinel DISTINCT from the
-    # wedge pad (so pad wedges never match pad edges) — keeps the join
-    # program's shapes reusable across graphs via the compile cache
-    me = 1 << max(int(ev.size) - 1, 0).bit_length()
+    # pad edges to a 2^20 multiple with a sentinel DISTINCT from the
+    # wedge pad (so pad wedges never match pad edges) — coarse enough
+    # that the compile cache reuses join programs across similar
+    # graphs, fine enough that the edges re-sorted with every slab
+    # carry <= 3% pad (the old next-power-of-two pad re-sorted up to
+    # 2x the real edges in all ~W/SLAB slabs)
+    unit = 1 << 20
+    me = max(unit, -(-int(ev.size) // unit) * unit)
     ev = np.pad(ev.astype(np.int64), (0, me - ev.size),
                 constant_values=SENT + 1)
     ew = np.pad(ew.astype(np.int64), (0, me - ew.size),
