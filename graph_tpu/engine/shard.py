@@ -237,8 +237,6 @@ class RowBlockEdgeEngine:
     # -- one-shot sharded ops (x and y are global row-sharded vectors)
 
     def _run(self, fn_name, x, **kw):
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
         from graph_tpu.parallel.halo import exchange
 
         tpl = self.template
@@ -250,16 +248,25 @@ class RowBlockEdgeEngine:
                     "smin_int_dev": (2**31 - 1, jnp.int32)}[fn_name]
         xp = jnp.full((n_pad,), fill, dt).at[: self.node_count].set(x)
 
-        def run(dev_stacked, xs):
-            dev = self.local_dev(dev_stacked)
-            halo = exchange(xs[0], dev_stacked["send_idx"][0], axis)
-            y = getattr(tpl, fn_name)(dev, halo, **kw)
-            return y[None]
+        # memoize the jitted shard_map per op (a fresh object per call
+        # would re-pay the 20-60 s remote compile, VERDICT round-2 #3)
+        cache = getattr(self, "_run_cache", None)
+        if cache is None:
+            cache = self._run_cache = {}
+        key = (fn_name, tuple(sorted(kw.items())))
+        mapped = cache.get(key)
+        if mapped is None:
+            def run(dev_stacked, xs):
+                dev = self.local_dev(dev_stacked)
+                halo = exchange(xs[0], dev_stacked["send_idx"][0], axis)
+                y = getattr(tpl, fn_name)(dev, halo, **kw)
+                return y[None]
 
-        mapped = shard_map(
-            run, mesh=self.mesh,
-            in_specs=({k: P(axis) for k in self.dev_stacked}, P(axis)),
-            out_specs=P(axis), check_vma=False)
+            mapped = jax.jit(shard_map(
+                run, mesh=self.mesh,
+                in_specs=({k: P(axis) for k in self.dev_stacked}, P(axis)),
+                out_specs=P(axis), check_vma=False))
+            cache[key] = mapped
         y = mapped(self.dev_stacked, xp.reshape(len(self.mesh.devices.flat),
                                                 self.rows_per))
         return y.reshape(-1)[: self.node_count]
