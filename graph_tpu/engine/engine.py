@@ -42,8 +42,16 @@ def _k1_classes(plan: EdgePlan):
     if nblocks == 0:
         return [(plan.win, "rowscan", plan.border)]
     widx = plan.widx.astype(np.int32)
+    lm = (plan.lm.astype(bool) if getattr(plan, "lm", None) is not None
+          else np.zeros(nblocks, bool))
     tile_max = widx.reshape(-1, TILE).max(axis=1).astype(np.int64)
     blk_rows = tile_max.reshape(-1, TPB).max(axis=1) // 128 + 1
+    # lanemap blocks (plan lanemap_pack): widx carries the 7-bit row
+    # TABLE in bits 8..14, so their window need comes from the largest
+    # table entry, not from a (meaningless) position decode
+    amax = ((widx >> 8) & 127).reshape(-1, TILE).max(axis=1)
+    lm_rows = amax.reshape(-1, TPB).max(axis=1).astype(np.int64) + 1
+    blk_rows = np.where(lm, lm_rows, blk_rows)
     # 1024-granularity classes (ws starts are 1024-aligned): power-of-two
     # rounding cost up to 2x scan rows (e.g. 37 actual rows paid 64)
     need = np.maximum(1024, np.minimum(
@@ -52,9 +60,10 @@ def _k1_classes(plan: EdgePlan):
     r3 = (widx >> 7) & 7
     rowpat = (np.arange(widx.shape[0], dtype=np.int32) % 8)[:, None]
     conform = ((r3 == rowpat).all(axis=1)
-               .reshape(-1, BLK // 128).all(axis=1))
+               .reshape(-1, BLK // 128).all(axis=1)) & ~lm
     out = []
-    for mode, sel in (("rowscan", ~conform), ("rowmatch", conform)):
+    for mode, sel in (("rowscan", ~conform & ~lm), ("rowmatch", conform),
+                      ("lanemap", lm)):
         if not sel.any():
             continue
         need_m = np.where(sel, need, -1)

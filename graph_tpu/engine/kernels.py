@@ -134,6 +134,31 @@ def _k1_kernel(border_ref, sb_ref, ws_ref, x_refs, widx_ref, out_ref,
             for g in range(win // 1024):
                 u = jnp.take_along_axis(w[g * 8:(g + 1) * 8, :], lo, axis=1)
                 acc = u if win == 1024 else jnp.where(grp == g, u, acc)
+        elif mode == "lanemap":
+            # Lane-mapped layout (plan lanemap_pack): chaining a sublane
+            # gather then a lane gather yields u2[i,j] =
+            # w[A[i, lo[i,j]], lo[i,j]] — the row index is evaluated at
+            # the FINAL lane, so A must be a per-(VREG row, window lane)
+            # TABLE, not a per-slot index.  The plan places slots so
+            # each (row, window-lane) pair maps to one window row and
+            # packs the stream as  table row (bits 8..14, at the slot's
+            # PHYSICAL lane)  |  slot window lane (bits 0..6).  Mosaic
+            # lowers the 8-deep sublane gather natively, so each 8-row
+            # window group costs 2 VREG ops + one final lane taa —
+            # measured window-size-independent ~0.148 ns/slot vs 0.38
+            # for the win-16384 rowscan (scripts/perf_k1_lanemap.py);
+            # duplicates of one src are free (unlike "rowmatch").
+            A = (idx >> 8) & 127
+            if win == 1024:
+                u = jnp.take_along_axis(w[0:8, :], A, axis=0)
+            else:
+                g_of = A >> 3
+                u = jnp.zeros((8, 128), xs_ref.dtype)
+                for g in range(win // 1024):
+                    sub = jnp.take_along_axis(w[g * 8:(g + 1) * 8, :],
+                                              A & 7, axis=0)
+                    u = jnp.where(g_of == g, sub, u)
+            acc = jnp.take_along_axis(u, lo, axis=1)
         else:
             hi = idx >> 7
             acc = jnp.zeros((8, 128), xs_ref.dtype)
@@ -179,8 +204,14 @@ def k1_gather(x_padded, widx, border, sb, ws, *, win=WIN, nslices=NSLICES,
     n_in = ((1 + nslices) if weights is None else (2 + nslices)) + (
         0 if out_init is None else 1)
     if modular is None:
+        # Default OFF (measured): the block visit order is slice-major
+        # (border sorted by sb), so slice-base changes are rare (~one
+        # per x slice) and the legacy all-restage staging costs almost
+        # nothing — while the modular per-tile address arithmetic adds
+        # ~14% to K1 at scale 22 (perf_attr 2026-08-18: 0.1013 legacy
+        # vs 0.1158 modular ns/edge).  Opt in via GRAPH_TPU_K1_MODXS=1.
         import os
-        modular = os.environ.get("GRAPH_TPU_K1_MODXS", "1") != "0"
+        modular = os.environ.get("GRAPH_TPU_K1_MODXS", "0") == "1"
     modular = modular and nslices > 1 and win <= SLICE
 
     def _i(v):  # index maps must return signed integer scalars

@@ -84,12 +84,17 @@ class EdgePlan:
     # gathers from a (P*H,) halo buffer while reducing into its own
     # rows_per destinations.  0 means square (n_src == n).
     n_src: int = 0
+    # lanemap blocks (optional): per-block mask of tiles repacked into
+    # the lane-mapped widx encoding (kernels mode="lanemap"; see
+    # graph_tpu.engine.lanemap).  None = no block is lane-mapped.
+    lm: "np.ndarray | None" = None  # (nblocks,) uint8 or None
 
     @property
     def nsrc(self) -> int:
         return self.n_src or self.n
 
-    FORMAT_VERSION = 6  # v6: row-matched tile placement (K1 rowmatch);
+    FORMAT_VERSION = 7  # v7: lanemap tile packing (K1 lanemap classes);
+    # v6: row-matched tile placement (K1 rowmatch);
     # v5: optional degree-relabel perm;
     # v4: per-plan nslices (block-span budget);
     # v3: uint16 sb/border (SMEM prefetch limit at scale 24+);
@@ -113,6 +118,8 @@ class EdgePlan:
             wa2=self.wa2, wb2=self.wb2, sec_mid=self.sec_mid,
             perm=(np.zeros(0, np.int32) if self.perm is None
                   else self.perm),
+            lm=(np.zeros(0, np.uint8) if self.lm is None
+                else self.lm.astype(np.uint8)),
         )
 
     @staticmethod
@@ -126,6 +133,7 @@ class EdgePlan:
                 f"{EdgePlan.FORMAT_VERSION}; rebuild the plan")
         w = z["weights"]
         perm = z["perm"] if "perm" in z.files else np.zeros(0, np.int32)
+        lm = z["lm"] if "lm" in z.files else np.zeros(0, np.uint8)
         return EdgePlan(
             n=int(h[0]), m=int(h[1]), nslots=int(h[2]), nmid=int(h[3]),
             nsec=int(h[4]), nx=int(h[5]), win=int(h[7]),
@@ -137,6 +145,7 @@ class EdgePlan:
             wa2=z["wa2"], wb2=z["wb2"], sec_mid=z["sec_mid"],
             perm=None if perm.size == 0 else perm,
             n_src=int(h[9]) if h.size > 9 else 0,
+            lm=None if lm.size == 0 else lm,
         )
 
     def device_arrays(self):
@@ -307,6 +316,7 @@ def build_plan(
     nslices: Optional[int] = None,
     relabel: Optional[str] = None,
     n_src: Optional[int] = None,
+    lanemap: Optional[bool] = None,
 ) -> EdgePlan:
     """Compile an edge list into an EdgePlan.
 
@@ -322,6 +332,11 @@ def build_plan(
     sources cluster, so K1's per-block window classes pay few scan rows
     where the edges are.  The engine's public ops transparently permute
     in/out; iterative drivers use the internal space directly.
+
+    ``lanemap``: None follows $GRAPH_TPU_K1_LANEMAP (default on);
+    False skips the lanemap tile repack — required by the sharded
+    engines, whose stacked single-class kernels assume the positional
+    widx encoding on every device.
     """
     t0 = time.perf_counter()
     src = np.asarray(src, dtype=np.int64)
@@ -346,7 +361,8 @@ def build_plan(
     if colorer is None:
         plan = _build_plan_native(src, dst, n, values, m, nmid, t0,
                                   win=win or 0, nslices=nslices or 0,
-                                  perm=perm, n_src=n_src or 0)
+                                  perm=perm, n_src=n_src or 0,
+                                  lanemap=lanemap)
         if plan is not None:
             return plan
 
@@ -456,6 +472,10 @@ def build_plan(
         slot_dstl[pos:pos + TILE] = dloc
         pos += TILE
 
+    # ---- lanemap repack (before routing: it permutes keys in-tile)
+    lm = (None if lanemap is False else
+          _lanemap_pass(widx_flat, slot_dstl, wvals, win, nblocks))
+
     # slice-major block visit order (stream x through VMEM once)
     bdt = _block_dtype(nblocks)
     border = np.argsort(sb, kind="stable").astype(bdt)
@@ -499,7 +519,7 @@ def build_plan(
         ws=(ws // 1024).astype(_ws_dtype(win, nslices)), border=border,
         weights=None if wvals is None else wvals.reshape(-1, 128),
         wa=wa, wb=wb, sstart=sstart, wa2=wa2, wb2=wb2,
-        sec_mid=sec_mid_arr, perm=perm, n_src=n_src or 0,
+        sec_mid=sec_mid_arr, perm=perm, n_src=n_src or 0, lm=lm,
     )
     logger.info(
         "EdgePlan: m=%d slots=%d (%.1f%% pad) mids=%d sections=%d in %.2fs",
@@ -507,6 +527,23 @@ def build_plan(
         time.perf_counter() - t0,
     )
     return plan
+
+
+def _lanemap_pass(widx_flat, keys_flat, wvals_flat, win, nblocks):
+    """Run the lanemap repack (graph_tpu.engine.lanemap) in place.
+
+    Returns the per-block uint8 mask, or None when disabled
+    ($GRAPH_TPU_K1_LANEMAP=0), inapplicable (win > 16384: the row table
+    is 7 bits), or no block fits."""
+    import os
+
+    if (os.environ.get("GRAPH_TPU_K1_LANEMAP", "1") == "0"
+            or win > 16384 or not nblocks):
+        return None
+    from graph_tpu.engine.lanemap import lanemap_pack
+
+    lm_mask = lanemap_pack(widx_flat, keys_flat, wvals_flat, win)
+    return lm_mask.astype(np.uint8) if lm_mask.any() else None
 
 
 def _rowmatch_positions(idxs, k, lead):
@@ -710,7 +747,7 @@ def _count_slots(src_sorted, win, nslices=NSLICES):
 
 
 def _build_plan_native(src, dst, n, values, m, nmid, t0, win=0, nslices=0,
-                       perm=None, n_src=0):
+                       perm=None, n_src=0, lanemap=None):
     """Full native-layout path: C++ sort+layout, C++ section routing."""
     from graph_tpu.engine.native_route import (
         build_layout_native, build_sections_native)
@@ -721,6 +758,9 @@ def _build_plan_native(src, dst, n, values, m, nmid, t0, win=0, nslices=0,
         return None
     nslots = lay["nslots"]
     nsec = nslots // SEC
+    lm = (None if lanemap is False else
+          _lanemap_pass(lay["widx"], lay["keys"], lay["wvals"],
+                        lay["win"], nslots // BLK))
     native = build_sections_native(lay["keys"])
     if native is None:
         return None
@@ -746,7 +786,7 @@ def _build_plan_native(src, dst, n, values, m, nmid, t0, win=0, nslices=0,
         sstart=sstart_f.reshape(nsec * SEC_R, 128),
         wa2=wa2_f.reshape(nsec * SEC_R, 128),
         wb2=wb2_f.reshape(nsec * SEC_R, 128),
-        sec_mid=sec_mid_arr, perm=perm, n_src=n_src,
+        sec_mid=sec_mid_arr, perm=perm, n_src=n_src, lm=lm,
     )
     logger.info(
         "EdgePlan (native): m=%d slots=%d (%.1f%% pad) mids=%d sections=%d "

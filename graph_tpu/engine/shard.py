@@ -58,6 +58,10 @@ class ShardedEdgeEngine:
                     f"({win}, {nslices}); got ({e.plan.win}, "
                     f"{e.plan.nslices}) — build them via "
                     "ShardedEdgeEngine.build or pass win=/nslices=")
+            if e.plan.lm is not None:
+                raise ValueError(
+                    "sharded plans must be built with lanemap=False "
+                    "(the stacked kernel decodes widx positionally)")
         for e in engines:
             e.k1_cls = [(win, "rowscan")]  # valid for any placement
             e.k2_classes = None  # per-device class splits differ in shape
@@ -88,8 +92,10 @@ class ShardedEdgeEngine:
             # compiled once); let the first shard's auto-pick decide
             w = None if d == 0 else plans[0].win
             ns = None if d == 0 else plans[0].nslices
+            # lanemap=False: the stacked single-class kernel decodes
+            # widx positionally on every device
             plans.append(build_plan(src[lo:hi], dst[lo:hi], n, values=v,
-                                    win=w, nslices=ns))
+                                    win=w, nslices=ns, lanemap=False))
         nsec = max(p.nsec for p in plans)
         nx = max(p.nx for p in plans)  # the template's nx must cover all
         plans = [dataclasses.replace(_pad_plan(p, nsec), nx=nx)
@@ -162,6 +168,10 @@ class RowBlockEdgeEngine:
                 raise ValueError(
                     "all row-block plans must share (win, nslices); build "
                     "them via RowBlockEdgeEngine.build")
+            if e.plan.lm is not None:
+                raise ValueError(
+                    "row-block plans must be built with lanemap=False "
+                    "(the stacked kernel decodes widx positionally)")
             e.k1_cls = [(win, "rowscan")]  # valid for any placement
             e.k2_classes = None  # per-device class splits differ in shape
             e.dev = {k: v for k, v in e.dev.items()
@@ -218,7 +228,8 @@ class RowBlockEdgeEngine:
             plans.append(build_plan(
                 halo.tgt_remap[p, : counts[p]].astype(np.int64),
                 (dst_s[lo:hi] - p * rows_per).astype(np.int64),
-                rows_per, values=v, win=w, nslices=ns, n_src=n_src))
+                rows_per, values=v, win=w, nslices=ns, n_src=n_src,
+                lanemap=False))
         nsec = max(p_.nsec for p_ in plans)
         nx = max(p_.nx for p_ in plans)  # template's nx pads x for all
         plans = [dataclasses.replace(_pad_plan(p_, nsec), nx=nx)

@@ -75,7 +75,11 @@ def main():
         rows_weighted += (w // 128) * bc.size
     print(f"  weighted avg scan rows/block: {rows_weighted/max(nblocks,1):.1f}")
 
-    reps = max(8, int(1.2e9 // (m * 8)))
+    # Floor-proofing (PERF_NOTES "Measurement discipline"): the tunnel
+    # adds ~30 ms per dispatch, so each timed loop must run >= ~400 ms
+    # of device work or the floor inflates ns/edge by up to ~25%.
+    # Target ~2G slot-visits per loop (~400 ms at 0.2 ns/edge).
+    reps = max(32, int(2e9 // m))
     print(f"reps={reps}")
     dev = eng.dev
     rng = np.random.default_rng(1)

@@ -64,8 +64,14 @@ def test_plan_invariants():
         w = widx[t * TILE : (t + 1) * TILE].astype(np.int64)
         ws = int(plan.ws[t]) * 1024  # stored /1024 in uint8
         assert ws + plan.win <= NSLICES * SLICE
-        # every slot's gather index is tile-window-local
-        assert (w >= 0).all() and (w < plan.win).all()
+        if plan.lm is not None and plan.lm[b]:
+            # lanemap encoding: slot window lane (bits 0..6) + per-lane
+            # row table (bits 8..14, < win/128); bits 7/15 unused
+            assert (w & 0b1000000010000000).max() == 0
+            assert ((w >> 8) < plan.win // 128).all()
+        else:
+            # every slot's gather index is tile-window-local
+            assert (w >= 0).all() and (w < plan.win).all()
     # border is a permutation ordered by slice
     assert np.array_equal(np.sort(plan.border), np.arange(plan.sb.size))
     assert (np.diff(plan.sb[plan.border]) >= 0).all()
@@ -455,8 +461,10 @@ def test_sharded_engine_rejects_mixed_windows():
 
     n, m = 2000, 8000
     src, dst = _random_graph(n, m, seed=84)
-    p1 = build_plan(src[: m // 2], dst[: m // 2], n, win=2048)
-    p2 = build_plan(src[m // 2 :], dst[m // 2 :], n, win=16384, nslices=8)
+    p1 = build_plan(src[: m // 2], dst[: m // 2], n, win=2048,
+                    lanemap=False)
+    p2 = build_plan(src[m // 2 :], dst[m // 2 :], n, win=16384, nslices=8,
+                    lanemap=False)
     mesh = Mesh(np.asarray(jax.devices()[:2]), ("edges",))
     e1, e2 = EdgeEngine(p1, interpret=True), EdgeEngine(p2, interpret=True)
     with pytest.raises(ValueError, match="win"):
@@ -561,17 +569,20 @@ def test_k2_section_classes_mixed_depths():
     np.testing.assert_array_equal(yi, yi_exp)
 
 
-def test_k1_rowmatch_classes_exact():
+def test_k1_rowmatch_classes_exact(monkeypatch):
     """Row-matched K1 placement (plan v6): spread srcs trigger the
     rowmatch mode; results stay fixed-point exact, incl. weighted
     combine and min reduce.  Hub graphs must fall back to packed
-    placement (saved scan rows = 0)."""
+    placement (saved scan rows = 0).  Lanemap is disabled here — it
+    would otherwise claim every block (it supersedes rowmatch by
+    default) and this test pins the rowmatch machinery."""
     import jax.numpy as jnp
 
     from graph_tpu.engine.engine import EdgeEngine, _k1_classes
     from graph_tpu.engine.plan import build_plan as _bp
     from graph_tpu.engine.route import clos_route
 
+    monkeypatch.setenv("GRAPH_TPU_K1_LANEMAP", "0")
     rng_ = np.random.default_rng(41)
     n = 1 << 16
     m = 1 << 15
@@ -612,6 +623,85 @@ def test_k1_rowmatch_classes_exact():
     np.add.at(acch, hub_dst, qh.astype(np.int64))
     yh_exp = acch.astype(np.int32).astype(np.float32) / np.float32(1 << 30)
     np.testing.assert_array_equal(yh, yh_exp)
+
+
+def test_k1_lanemap_mode_exact():
+    """Lanemap K1 classes (plan lanemap_pack, default on): random and
+    hub graphs repack into the lane-mapped widx encoding; spmv, weighted
+    relax and integer min stay bit-exact."""
+    import jax.numpy as jnp
+
+    from graph_tpu.engine.engine import EdgeEngine
+
+    n = 1 << 16
+    m = 1 << 15
+    rng_ = np.random.default_rng(47)
+    src = rng_.integers(0, n, m)
+    dst = rng_.integers(0, n, m)
+    w = (rng_.random(m) * 3).astype(np.float32)
+    plan = build_plan(src, dst, n, values=w)
+    assert plan.lm is not None and plan.lm.any()
+    eng = EdgeEngine(plan, interpret=True)
+    assert any(mode == "lanemap" for _, mode in eng.k1_cls), eng.k1_cls
+    x = (rng_.random(n) * 1e-4).astype(np.float32)
+    y = np.asarray(eng.spmv(jnp.asarray(x)))
+    q = np.round((x[src] * np.float32(1 << 30)).astype(np.float32))
+    acc = np.zeros(n, np.int64)
+    np.add.at(acc, dst, q.astype(np.int64))
+    y_exp = acc.astype(np.int32).astype(np.float32) / np.float32(1 << 30)
+    np.testing.assert_array_equal(y, y_exp)
+    d0 = (rng_.random(n) * 10).astype(np.float32)
+    yr = np.asarray(eng.relax(jnp.asarray(d0)))
+    yr_exp = np.full(n, 3.0e38, np.float32)
+    np.minimum.at(yr_exp, dst, (d0[src] + w).astype(np.float32))
+    np.testing.assert_array_equal(yr, yr_exp)
+    xi = rng_.integers(0, 1 << 30, n).astype(np.int32)
+    yi = np.asarray(eng.smin_int(jnp.asarray(xi)))
+    yi_exp = np.full(n, np.iinfo(np.int32).max, np.int32)
+    np.minimum.at(yi_exp, dst, xi[src])
+    np.testing.assert_array_equal(yi, yi_exp)
+
+    # hub graph: one source duplicated everywhere — duplicates share a
+    # (lane, row) table entry, so lanemap must still apply
+    hub_src = np.zeros(m, np.int64)
+    hub_dst = rng_.integers(0, n, m)
+    plan_h = build_plan(hub_src, hub_dst, n)
+    assert plan_h.lm is not None and plan_h.lm.all()
+    eng_h = EdgeEngine(plan_h, interpret=True)
+    yh = np.asarray(eng_h.spmv(jnp.asarray(x)))
+    qh = np.round((x[hub_src] * np.float32(1 << 30)).astype(np.float32))
+    acch = np.zeros(n, np.int64)
+    np.add.at(acch, hub_dst, qh.astype(np.int64))
+    yh_exp = acch.astype(np.int32).astype(np.float32) / np.float32(1 << 30)
+    np.testing.assert_array_equal(yh, yh_exp)
+
+
+def test_k1_lanemap_fallback_exact():
+    """A tile with >8 distinct window rows on one lane cannot lanemap;
+    the block must fall back to the position encoding (and stay
+    exact)."""
+    import jax.numpy as jnp
+
+    from graph_tpu.engine.engine import EdgeEngine
+
+    n = 1 << 14
+    # 16 sources at lane 5 of rows 0..15, each with 64 edges: every
+    # tile sees 16 distinct window rows on one lane
+    srcs = 5 + 128 * np.arange(16)
+    src = np.repeat(srcs, 64)
+    rng_ = np.random.default_rng(11)
+    dst = rng_.integers(0, n, src.size)
+    plan = build_plan(src, dst, n, win=2048, nslices=3)
+    assert plan.lm is None or not plan.lm.all()
+    eng = EdgeEngine(plan, interpret=True)
+    assert any(mode in ("rowscan", "rowmatch") for _, mode in eng.k1_cls)
+    x = (rng_.random(n) * 1e-4).astype(np.float32)
+    y = np.asarray(eng.spmv(jnp.asarray(x)))
+    q = np.round((x[src] * np.float32(1 << 30)).astype(np.float32))
+    acc = np.zeros(n, np.int64)
+    np.add.at(acc, dst, q.astype(np.int64))
+    y_exp = acc.astype(np.int32).astype(np.float32) / np.float32(1 << 30)
+    np.testing.assert_array_equal(y, y_exp)
 
 
 def test_plan_cache_key_separates_tag_and_relabel():
