@@ -114,6 +114,64 @@ def _load_layout():
     return _layout_lib
 
 
+_lanemap_lib = None
+_lanemap_failed = False
+
+
+def _load_lanemap():
+    global _lanemap_lib, _lanemap_failed
+    if _lanemap_lib is not None or _lanemap_failed:
+        return _lanemap_lib
+    try:
+        from graph_tpu.native.build import build_library
+
+        lib = ctypes.CDLL(build_library("lanemap.cpp"))
+        lib.gt_lanemap_pack.restype = ctypes.c_int
+        lib.gt_lanemap_pack.argtypes = [
+            ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ]
+        _lanemap_lib = lib
+    except Exception as exc:  # pragma: no cover - env without g++
+        log.warning("native lanemap unavailable (%s); python repack", exc)
+        _lanemap_failed = True
+    return _lanemap_lib
+
+
+def lanemap_pack_native(widx: np.ndarray, keys: np.ndarray,
+                        wvals, win: int, nthreads: int = 0):
+    """In-place lanemap tile repack (native/lanemap.cpp).
+
+    Mirrors graph_tpu.engine.lanemap.lanemap_pack bit for bit; mutates
+    widx/keys/wvals for the blocks that fit and returns the per-block
+    bool mask, or None when the native library is unavailable (caller
+    falls back to the python pass).
+    """
+    lib = _load_lanemap()
+    if lib is None:
+        return None
+    assert widx.dtype == np.uint16 and widx.flags.c_contiguous
+    assert keys.dtype == np.int32 and keys.flags.c_contiguous
+    vptr = None
+    if wvals is not None:
+        assert wvals.dtype == np.float32 and wvals.flags.c_contiguous
+        vptr = wvals.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    nblocks = widx.size // 16384
+    lm = np.zeros(nblocks, np.uint8)
+    if nthreads <= 0:
+        nthreads = min(32, os.cpu_count() or 1)
+    rc = lib.gt_lanemap_pack(
+        widx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        vptr, ctypes.c_int64(widx.size), ctypes.c_int64(win),
+        lm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int(nthreads))
+    if rc != 0:  # pragma: no cover
+        return None
+    return lm.astype(bool)
+
+
 def build_layout_native(src, dst, values=None, n=0, win: int = 0,
                         nslices: int = 0, n_src: int = 0, nthreads: int = 0):
     """Sort + slot-stream layout in C++ (win=0 auto-selects the K1

@@ -540,9 +540,13 @@ def _lanemap_pass(widx_flat, keys_flat, wvals_flat, win, nblocks):
     if (os.environ.get("GRAPH_TPU_K1_LANEMAP", "1") == "0"
             or win > 16384 or not nblocks):
         return None
-    from graph_tpu.engine.lanemap import lanemap_pack
+    from graph_tpu.engine.native_route import lanemap_pack_native
 
-    lm_mask = lanemap_pack(widx_flat, keys_flat, wvals_flat, win)
+    lm_mask = lanemap_pack_native(widx_flat, keys_flat, wvals_flat, win)
+    if lm_mask is None:  # no compiler: pure-python fallback
+        from graph_tpu.engine.lanemap import lanemap_pack
+
+        lm_mask = lanemap_pack(widx_flat, keys_flat, wvals_flat, win)
     return lm_mask.astype(np.uint8) if lm_mask.any() else None
 
 

@@ -676,6 +676,43 @@ def test_k1_lanemap_mode_exact():
     np.testing.assert_array_equal(yh, yh_exp)
 
 
+def test_lanemap_native_matches_python():
+    """native/lanemap.cpp must reproduce the python repack bit for bit
+    (same per-block mask, same widx/keys/wvals mutation) so plans built
+    with and without a compiler are identical."""
+    from graph_tpu.engine.lanemap import lanemap_pack
+    from graph_tpu.engine.native_route import lanemap_pack_native
+
+    rng_ = np.random.default_rng(3)
+    BLK_ = TPB * TILE
+    for trial in range(4):
+        nblocks = 6
+        nslots = nblocks * BLK_
+        win = [1024, 2048, 16384, 1024][trial]
+        widx = rng_.integers(0, win, nslots).astype(np.uint16)
+        keys = rng_.integers(0, MID, nslots).astype(np.int32)
+        keys[rng_.random(nslots) < 0.3] = MID  # tail pads
+        for t in range(0, nslots // TILE, 7):  # lead pads
+            keys[t * TILE + rng_.integers(0, TILE)] = -1
+        for t in range(0, nslots // TILE, 5):  # hub tiles
+            widx[t * TILE : (t + 1) * TILE - 100] = rng_.integers(0, win)
+        vals = ((rng_.random(nslots) * 3).astype(np.float32)
+                if trial % 2 else None)
+        w1, k1_ = widx.copy(), keys.copy()
+        v1 = None if vals is None else vals.copy()
+        w2, k2_ = widx.copy(), keys.copy()
+        v2 = None if vals is None else vals.copy()
+        lm_py = lanemap_pack(w1, k1_, v1, win)
+        lm_cc = lanemap_pack_native(w2, k2_, v2, win)
+        if lm_cc is None:
+            pytest.skip("no compiler for native lanemap")
+        assert np.array_equal(lm_py, lm_cc)
+        assert np.array_equal(w1, w2)
+        assert np.array_equal(k1_, k2_)
+        if vals is not None:
+            assert np.array_equal(v1, v2)
+
+
 def test_k1_lanemap_fallback_exact():
     """A tile with >8 distinct window rows on one lane cannot lanemap;
     the block must fall back to the position encoding (and stay
