@@ -46,10 +46,10 @@ def _k1_classes(plan: EdgePlan):
           else np.zeros(nblocks, bool))
     tile_max = widx.reshape(-1, TILE).max(axis=1).astype(np.int64)
     blk_rows = tile_max.reshape(-1, TPB).max(axis=1) // 128 + 1
-    # lanemap blocks (plan lanemap_pack): widx carries the 7-bit row
-    # TABLE in bits 8..14, so their window need comes from the largest
+    # lanemap blocks (plan lanemap_pack): widx carries the 8-bit row
+    # TABLE in bits 7..14, so their window need comes from the largest
     # table entry, not from a (meaningless) position decode
-    amax = ((widx >> 8) & 127).reshape(-1, TILE).max(axis=1)
+    amax = ((widx >> 7) & 255).reshape(-1, TILE).max(axis=1)
     lm_rows = amax.reshape(-1, TPB).max(axis=1).astype(np.int64) + 1
     blk_rows = np.where(lm, lm_rows, blk_rows)
     # 1024-granularity classes (ws starts are 1024-aligned): power-of-two

@@ -141,14 +141,15 @@ def _k1_kernel(border_ref, sb_ref, ws_ref, x_refs, widx_ref, out_ref,
             # the FINAL lane, so A must be a per-(VREG row, window lane)
             # TABLE, not a per-slot index.  The plan places slots so
             # each (row, window-lane) pair maps to one window row and
-            # packs the stream as  table row (bits 8..14, at the slot's
-            # PHYSICAL lane)  |  slot window lane (bits 0..6).  Mosaic
-            # lowers the 8-deep sublane gather natively, so each 8-row
-            # window group costs 2 VREG ops + one final lane taa —
-            # measured window-size-independent ~0.148 ns/slot vs 0.38
-            # for the win-16384 rowscan (scripts/perf_k1_lanemap.py);
+            # packs the stream as  table row (bits 7..14, at the slot's
+            # PHYSICAL lane)  |  slot window lane (bits 0..6); 8 table
+            # bits cover windows up to 32768.  Mosaic lowers the 8-deep
+            # sublane gather natively, so each 8-row window group costs
+            # 2 VREG ops + one final lane taa — measured
+            # window-size-independent ~0.148 ns/slot vs 0.38 for the
+            # win-16384 rowscan (scripts/perf_k1_lanemap.py);
             # duplicates of one src are free (unlike "rowmatch").
-            A = (idx >> 8) & 127
+            A = (idx >> 7) & 255
             if win == 1024:
                 u = jnp.take_along_axis(w[0:8, :], A, axis=0)
             else:

@@ -22,9 +22,10 @@ a tile is free — K2's build-time Benes route absorbs any intra-section
 permutation) and re-encodes widx as
 
     bits 0..6   slot's window lane (lo), per physical slot
-    bits 8..14  row table A for this physical position's LANE, per
+    bits 7..14  row table A for this physical position's LANE, per
                 (VREG row, physical lane) — note the two fields describe
-                DIFFERENT things sharing one uint16 stream
+                DIFFERENT things sharing one uint16 stream.  8 table
+                bits cover win up to 32768 (256 window rows)
 
 Blocks where any tile fails keep their original (position) encoding and
 class as rowscan/rowmatch; the per-block ``lm`` mask ships in the plan
@@ -59,7 +60,7 @@ def _pack_tile(pos: np.ndarray, real_idx: np.ndarray):
     lo = pos & 127
     hi = pos >> 7
     # group slots by (lane, row); >8 distinct rows on one lane -> fail
-    key = lo * 256 + hi  # hi < 128 always (win <= 16384)
+    key = lo * 256 + hi  # hi < 256 always (win <= 32768)
     uniq, inv, counts = np.unique(key, return_inverse=True,
                                   return_counts=True)
     g_lo = (uniq // 256).astype(np.int64)
@@ -125,7 +126,7 @@ def lanemap_pack(widx: np.ndarray, keys: np.ndarray,
     """
     nslots = widx.size
     nblocks = nslots // BLK
-    assert win <= 16384, "lanemap row table is 7 bits (win <= 16384)"
+    assert win <= 32768, "lanemap row table is 8 bits (win <= 32768)"
     lm = np.zeros(nblocks, bool)
     k2 = keys.reshape(-1, TILE)
     w2 = widx.reshape(-1, TILE)
@@ -159,7 +160,7 @@ def lanemap_pack(widx: np.ndarray, keys: np.ndarray,
             if res is not None:
                 perm_src, perm_dst, table = res
                 hi_bits = (np.where(table < 0, 0, table)
-                           .astype(np.uint16).reshape(-1) << 8)
+                           .astype(np.uint16).reshape(-1) << 7)
                 new_w[perm_dst] = (w2[t][perm_src] & 127).astype(np.uint16)
                 new_k[perm_dst] = k2[t][perm_src]
                 if new_v is not None:

@@ -93,7 +93,9 @@ class EdgePlan:
     def nsrc(self) -> int:
         return self.n_src or self.n
 
-    FORMAT_VERSION = 7  # v7: lanemap tile packing (K1 lanemap classes);
+    FORMAT_VERSION = 8  # v8: 8-bit lanemap row table at bits 7..14
+    # (windows up to 32768);
+    # v7: lanemap tile packing (K1 lanemap classes);
     # v6: row-matched tile placement (K1 rowmatch);
     # v5: optional degree-relabel perm;
     # v4: per-plan nslices (block-span budget);
@@ -186,7 +188,7 @@ class EdgePlan:
 #: large src gaps (scale 24) and cost almost nothing with the modular
 #: x-slice streams (one slice re-fetched per slice-base step).
 WIN_CANDIDATES = ((2048, 3), (4096, 3), (8192, 3), (16384, 16),
-                  (16384, 8))
+                  (16384, 8), (32768, 16))
 WIN_COST_RATIO = 48
 
 
@@ -533,12 +535,12 @@ def _lanemap_pass(widx_flat, keys_flat, wvals_flat, win, nblocks):
     """Run the lanemap repack (graph_tpu.engine.lanemap) in place.
 
     Returns the per-block uint8 mask, or None when disabled
-    ($GRAPH_TPU_K1_LANEMAP=0), inapplicable (win > 16384: the row table
-    is 7 bits), or no block fits."""
+    ($GRAPH_TPU_K1_LANEMAP=0), inapplicable (win > 32768: the row table
+    is 8 bits), or no block fits."""
     import os
 
     if (os.environ.get("GRAPH_TPU_K1_LANEMAP", "1") == "0"
-            or win > 16384 or not nblocks):
+            or win > 32768 or not nblocks):
         return None
     from graph_tpu.engine.native_route import lanemap_pack_native
 
@@ -696,8 +698,15 @@ def _count_slots(src_sorted, win, nslices=NSLICES):
     rowcost = 0
 
     def _flush(rows, rm):
+        # Row-matched blocks pay ~c/8 (one lane taa per 8-row window
+        # group).  Packed blocks are priced at 2x that, NOT the full
+        # rowscan c: the lanemap repack (plan v7+) claims ~80% of them
+        # at ~c/12 and the rest pay c, so E[cost] ~ 0.25 c ~ 2*(c/8).
+        # Flattening the row term shifts the auto-pick toward wide
+        # windows (less pad), which is right now that the window scan
+        # is no longer the dominant K1 term.
         c = _class_rows(rows, win)
-        return BLK * (-(-c // 8) if rm else c)
+        return BLK * (-(-c // 8) if rm else min(c, 2 * -(-c // 8)))
 
     while True:
         if cur >= m_i and slot % SEC == 0 and slot > 0:

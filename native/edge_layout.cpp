@@ -26,13 +26,15 @@ constexpr int64_t BLK = TILE * TPB;
 constexpr int64_t SLICE = 32768;
 constexpr int64_t NSLICES = 3;
 // Candidate (window, staged-slices) configs + cost model (must match
-// plan.py: cost = nslots * (WIN_COST_RATIO + win/128)).  The 16384
-// window pairs with 8 staged slices: the block-span budget
-// (nslices*SLICE) otherwise binds pad growth at large src gaps.
-// (16384, 16) halves pad at large src gaps; nearly free in HBM
-// traffic with the modular x-slice streams (kernels.py round 3).
-constexpr int64_t WIN_CANDIDATES[5] = {2048, 4096, 8192, 16384, 16384};
-constexpr int64_t NSLICE_CANDIDATES[5] = {3, 3, 3, 8, 16};
+// plan.py WIN_CANDIDATES / _count_slots).  The 16384 window pairs
+// with 8 staged slices: the block-span budget (nslices*SLICE)
+// otherwise binds pad growth at large src gaps.  (16384, 16) halves
+// pad at large src gaps, and (32768, 16) removes the window-driven
+// tile splits entirely at scale-24-class gaps (~16 srcs/slot) — the
+// per-block classes keep tight blocks on small windows either way.
+constexpr int64_t WIN_CANDIDATES[6] = {2048, 4096, 8192, 16384, 16384,
+                                       32768};
+constexpr int64_t NSLICE_CANDIDATES[6] = {3, 3, 3, 8, 16, 16};
 constexpr int64_t WIN_COST_RATIO = 48;
 constexpr int64_t SEC = 65536;
 constexpr int64_t MID = 65536;
@@ -84,9 +86,15 @@ int64_t layout_mid(const int64_t* src, const int64_t* dstl, const float* val,
     bool rm_allowed = true;
     auto flush_rowcost = [&]() {
         // row-matched blocks pay ~class_rows/8 (one lane taa per 8-row
-        // window group instead of 3 VREG ops per row)
+        // window group instead of 3 VREG ops per row).  Packed blocks
+        // are priced at 2x that, NOT the full rowscan: the lanemap
+        // repack (plan v7+) claims ~80% of them at ~cr/12 and the rest
+        // pay cr, so E[cost] ~ 0.25 cr — flattening the row term moves
+        // the auto-pick toward wide windows (less pad), mirroring
+        // plan.py _count_slots.
         int64_t cr = class_rows(block_rows, win);
-        *rowcost += BLK * (block_rm ? (cr + 7) / 8 : cr);
+        int64_t c8 = (cr + 7) / 8;
+        *rowcost += BLK * (block_rm ? c8 : (cr < 2 * c8 ? cr : 2 * c8));
     };
     for (;;) {
         if (cur >= m_i && slot % SEC == 0 && slot > slot0) break;
@@ -286,7 +294,7 @@ GtLayout* gt_build_layout(const int64_t* src, const int64_t* dst,
     std::vector<int64_t> mid_slots(nmid);
     if (win && !nslices) nslices = NSLICES;
     {
-        int ncand = win ? 1 : 5;
+        int ncand = win ? 1 : 6;
         std::vector<std::vector<int64_t>> counts(
             ncand, std::vector<int64_t>(nmid));
         std::vector<std::vector<int64_t>> rowcosts(
@@ -317,7 +325,7 @@ GtLayout* gt_build_layout(const int64_t* src, const int64_t* dst,
             // graph-max window — a wide window is nearly free for
             // blocks with tight spans, so pad is no longer bought to
             // shrink windows the scan never runs.
-            int64_t cost[5], nsl[5], cmin = -1;
+            int64_t cost[6], nsl[6], cmin = -1;
             for (int c = 0; c < ncand; c++) {
                 nsl[c] = 0;
                 int64_t rc = 0;

@@ -72,6 +72,8 @@ bool pack_tile(const uint16_t* pos, const int16_t* real, int k,
             key[i] = kv[idx[i]];
         }
     }
+    // (kv packs lane << 8 | row; row uses 8 bits so win up to 32768
+    // round-trips — the emitted widx stores the table << 7 instead)
     // group boundaries
     int g_start[TILE + 1];
     int g_lane[TILE], g_row[TILE], g_count[TILE];
@@ -188,7 +190,7 @@ int pack_block(uint16_t* widx, int32_t* keys, float* wvals) {
         bool used[TILE];
         for (int i = 0; i < TILE; i++) {
             int16_t h = res[t].table[i];
-            new_w[i] = (uint16_t)((h < 0 ? 0 : h) << 8);
+            new_w[i] = (uint16_t)((h < 0 ? 0 : h) << 7);
             new_k[i] = MID;
             used[i] = false;
         }
@@ -220,7 +222,7 @@ int pack_block(uint16_t* widx, int32_t* keys, float* wvals) {
 extern "C" int gt_lanemap_pack(uint16_t* widx, int32_t* keys, float* wvals,
                                int64_t nslots, int64_t win, uint8_t* lm_out,
                                int nthreads) {
-    if (win > 16384 || nslots % BLK) return -1;  // 7-bit row table
+    if (win > 32768 || nslots % BLK) return -1;  // 8-bit row table
     int64_t nblocks = nslots / BLK;
     if (nthreads < 1) nthreads = 1;
     if (nthreads > nblocks) nthreads = (int)(nblocks ? nblocks : 1);

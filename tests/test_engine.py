@@ -66,9 +66,9 @@ def test_plan_invariants():
         assert ws + plan.win <= NSLICES * SLICE
         if plan.lm is not None and plan.lm[b]:
             # lanemap encoding: slot window lane (bits 0..6) + per-lane
-            # row table (bits 8..14, < win/128); bits 7/15 unused
-            assert (w & 0b1000000010000000).max() == 0
-            assert ((w >> 8) < plan.win // 128).all()
+            # row table (bits 7..14, < win/128); bit 15 unused
+            assert (w & 0b1000000000000000).max() == 0
+            assert ((w >> 7) < plan.win // 128).all()
         else:
             # every slot's gather index is tile-window-local
             assert (w >= 0).all() and (w < plan.win).all()
@@ -674,6 +674,43 @@ def test_k1_lanemap_mode_exact():
     np.add.at(acch, hub_dst, qh.astype(np.int64))
     yh_exp = acch.astype(np.int32).astype(np.float32) / np.float32(1 << 30)
     np.testing.assert_array_equal(yh, yh_exp)
+
+
+def test_k1_lanemap_wide_window_exact():
+    """win=32768 layout (plan v8): the lanemap row table uses 8 bits
+    (bits 7..14); spread sources force table entries >= 128 and the
+    spmv must stay fixed-point exact."""
+    import jax.numpy as jnp
+
+    from graph_tpu.engine.engine import EdgeEngine
+
+    n = 1 << 17
+    rng_ = np.random.default_rng(53)
+    # hub-spread mix: 32 distinct sources at gap ~992 (one tile spans
+    # ~31K positions < the 31744 span budget, window rows up to ~240 —
+    # the 8-bit table), x32 duplicates each; duplicates share (lane,
+    # row) entries so the pack always fits
+    srcs_d = np.arange(32) * 992 + rng_.integers(0, 8, 32)
+    src = np.repeat(np.tile(srcs_d, 4) + np.repeat(
+        np.arange(4) * 33000, 32), 32)
+    m = src.size
+    dst = rng_.integers(0, n, m)
+    plan = build_plan(src, dst, n, win=32768, nslices=16)
+    assert plan.win == 32768
+    assert plan.lm is not None and plan.lm.any()
+    # 8-bit table entries actually exercised (rows >= 128)
+    widx = plan.widx.reshape(-1, TPB * TILE)
+    lm = plan.lm.astype(bool)
+    assert ((widx[lm].astype(np.int64) >> 7) & 255).max() >= 128
+    eng = EdgeEngine(plan, interpret=True)
+    assert any(mode == "lanemap" for _, mode in eng.k1_cls), eng.k1_cls
+    x = (rng_.random(n) * 1e-4).astype(np.float32)
+    y = np.asarray(eng.spmv(jnp.asarray(x)))
+    q = np.round((x[src] * np.float32(1 << 30)).astype(np.float32))
+    acc = np.zeros(n, np.int64)
+    np.add.at(acc, dst, q.astype(np.int64))
+    y_exp = acc.astype(np.int32).astype(np.float32) / np.float32(1 << 30)
+    np.testing.assert_array_equal(y, y_exp)
 
 
 def test_lanemap_native_matches_python():
