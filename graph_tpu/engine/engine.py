@@ -179,8 +179,12 @@ class EdgeEngine:
             self.dev[f"border{win_c}_{mode_c}"] = jnp.asarray(border_c)
         self.k2_classes = _k2_classes(plan)
         if self.k2_classes is not None:
+            cls_arr = np.zeros(plan.nsec, np.int32)
             for i, (_, _, ids) in enumerate(self.k2_classes):
-                self.dev[f"k2sel{i}"] = jnp.asarray(ids)
+                cls_arr[ids] = i
+            self.dev["k2cls"] = jnp.asarray(cls_arr)
+            self.k2_levels = tuple(
+                (ls, rs) for ls, rs, _ in self.k2_classes)
 
     def _k1(self, dev, xp, weights=None, combine="none"):
         """Chained per-window-class K1 calls (see :func:`_k1_classes`)."""
@@ -194,24 +198,17 @@ class EdgeEngine:
         return contrib
 
     def _k2(self, dev, contrib, op):
-        """K2 reduce, chained per scan-depth class when classed."""
-        from graph_tpu.engine.kernels import IMAX, INF_BITS, SEC_R
-
+        """K2 reduce; per-section scan-depth classes when classed."""
         p = self.plan
         classes = getattr(self, "k2_classes", None)
-        if not classes or "k2sel0" not in dev:
+        if not classes or "k2cls" not in dev:
             return k2_reduce(contrib, dev["wa"], dev["wb"], dev["sstart"],
                              dev["wa2"], dev["wb2"], dev["sec_mid"], p.nmid,
                              op=op, interpret=self.interpret)
-        fill = {"sum": 0, "imin": IMAX, "min": INF_BITS}[op]
-        y = jnp.full((p.nmid * SEC_R, 128), fill, jnp.int32)
-        for i, (ls, rs, _) in enumerate(classes):
-            y = k2_reduce(contrib, dev["wa"], dev["wb"], dev["sstart"],
-                          dev["wa2"], dev["wb2"], dev["sec_mid"], p.nmid,
-                          op=op, interpret=self.interpret,
-                          sec_sel=dev[f"k2sel{i}"], out_init=y,
-                          lane_steps=ls, row_steps=rs)
-        return y
+        return k2_reduce(contrib, dev["wa"], dev["wb"], dev["sstart"],
+                         dev["wa2"], dev["wb2"], dev["sec_mid"], p.nmid,
+                         op=op, interpret=self.interpret,
+                         sec_cls=dev["k2cls"], levels=self.k2_levels)
 
     @classmethod
     def build(cls, src, dst, n, values=None, colorer=None,

@@ -358,9 +358,70 @@ def _segmented_scan(q, ss, op, lane_steps=7, row_steps=9):
     return comb(q, jnp.where(local_start < 0, carry, neutral))
 
 
+def _segmented_scan_classed(q, ss, op, cls, levels, qs_ref, rn_ref):
+    """Segmented scan with per-SECTION depth, single kernel.
+
+    ``cls`` is this section's class index (traced scalar, prefetched);
+    ``levels`` the static ascending (lane_steps, row_steps) ladder.
+    The base level runs unconditionally; each deeper level's extra
+    steps run under ``@pl.when(cls >= i)`` with the intermediate value
+    parked in a VMEM scratch (4 extra (SEC_R,128) VMEM passes) — far
+    cheaper than the former one-pallas-call-per-class chaining, which
+    paid a fixed dispatch cost AND re-streamed the running output block
+    as an extra 4 B/slot input per section.  Lane regions all precede
+    row regions, so every level's step sequence is a valid truncation.
+    """
+    if op == "sum":
+        neutral = 0
+    elif q.dtype == jnp.int32:
+        neutral = IMAX
+    else:
+        neutral = INF
+    comb = (lambda a, b: a + b) if op == "sum" else jnp.minimum
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SEC_R, 128), 1)
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (SEC_R, 128), 0)
+    local_start = ss - rowid * 128
+    lane_d = lane - jnp.maximum(local_start, 0)
+    for sh in LANE_SHIFTS[: levels[0][0]]:
+        q = comb(q, jnp.where(lane_d >= sh, pltpu.roll(q, sh, 1), neutral))
+    qs_ref[:] = q
+    for i in range(1, len(levels)):
+        lo_, hi_ = levels[i - 1][0], levels[i][0]
+        if hi_ > lo_:
+            @pl.when(cls >= i)
+            def _(lo_=lo_, hi_=hi_):
+                qq = qs_ref[:]
+                for sh in LANE_SHIFTS[lo_:hi_]:
+                    qq = comb(qq, jnp.where(lane_d >= sh,
+                                            pltpu.roll(qq, sh, 1), neutral))
+                qs_ref[:] = qq
+    q = qs_ref[:]
+    idx127 = jnp.full((SEC_R, 128), 127, jnp.int32)
+    run = jnp.take_along_axis(q, idx127, axis=1)
+    rs_row = jnp.take_along_axis(ss, idx127, axis=1) // 128
+    row_d = rowid - rs_row
+    for sh in ROW_SHIFTS[: levels[0][1]]:
+        run = comb(run, jnp.where(row_d >= sh, pltpu.roll(run, sh, 0),
+                                  neutral))
+    rn_ref[:] = run
+    for i in range(1, len(levels)):
+        lo_, hi_ = levels[i - 1][1], levels[i][1]
+        if hi_ > lo_:
+            @pl.when(cls >= i)
+            def _(lo_=lo_, hi_=hi_):
+                rr = rn_ref[:]
+                for sh in ROW_SHIFTS[lo_:hi_]:
+                    rr = comb(rr, jnp.where(row_d >= sh,
+                                            pltpu.roll(rr, sh, 0), neutral))
+                rn_ref[:] = rr
+    run = rn_ref[:]
+    carry = pltpu.roll(run, 1, 0)
+    return comb(q, jnp.where(local_start < 0, carry, neutral))
+
+
 def _k2_kernel(sm_ref, v_ref, wa_ref, wb_ref, ss_ref, wa2_ref, wb2_ref,
                out_ref, *, op="sum", lane_steps=7, row_steps=9,
-               accumulate=False):
+               cls=None, levels=None, qs_ref=None, rn_ref=None):
     """Per-section: route -> segmented scan -> route ends to dsts.
 
     op="sum": int32 fixed-point segment sums (wraparound-exact).
@@ -382,7 +443,19 @@ def _k2_kernel(sm_ref, v_ref, wa_ref, wb_ref, ss_ref, wa2_ref, wb2_ref,
     # v is destination-sorted (lead pad first, tail pads last)
 
     ss = ss_ref[:].astype(jnp.int32)
-    if op == "sum":
+    if cls is not None:
+        if op == "sum":
+            q = jnp.round(v * jnp.float32(1 << FIXED_BITS)).astype(jnp.int32)
+            S = _segmented_scan_classed(q, ss, "sum", cls, levels,
+                                        qs_ref, rn_ref)
+        elif op == "imin":
+            S = _segmented_scan_classed(v, ss, "min", cls, levels,
+                                        qs_ref, rn_ref)
+        else:
+            S = pltpu.bitcast(
+                _segmented_scan_classed(v, ss, "min", cls, levels,
+                                        qs_ref, rn_ref), jnp.int32)
+    elif op == "sum":
         q = jnp.round(v * jnp.float32(1 << FIXED_BITS)).astype(jnp.int32)
         S = _segmented_scan(q, ss, "sum", lane_steps, row_steps)
     elif op == "imin":
@@ -397,31 +470,6 @@ def _k2_kernel(sm_ref, v_ref, wa_ref, wb_ref, ss_ref, wa2_ref, wb2_ref,
     wa2 = wa2_ref[:].astype(jnp.int32)
     y = _benes(S, wa2, wb2_ref[:].astype(jnp.int32))
     ok = (wa2 >> 15) == 1
-
-    if accumulate is not False:
-        # class mode: ``accumulate`` is the prev-value ref (the caller's
-        # running output, aliased to this call's output and ALSO passed
-        # as an input stream — pallas does not preload out blocks, so
-        # the first visit of each mid must seed from the previous
-        # class's value explicitly; later visits of the same mid reuse
-        # the VMEM-resident block)
-        prev_ref, first = accumulate
-        if op == "sum":
-            y = jnp.where(ok, y, 0)
-
-            @pl.when(first)
-            def _():
-                out_ref[:] = prev_ref[:]
-            out_ref[:] += y
-        else:
-            absent = IMAX if op == "imin" else INF_BITS
-            y = jnp.where(ok, y, absent)
-
-            @pl.when(first)
-            def _():
-                out_ref[:] = prev_ref[:]
-            out_ref[:] = jnp.minimum(out_ref[:], y)
-        return
 
     first = (k == 0) | (sm_ref[k] != sm_ref[jnp.maximum(k - 1, 0)])
     if op == "sum":
@@ -442,8 +490,7 @@ def _k2_kernel(sm_ref, v_ref, wa_ref, wb_ref, ss_ref, wa2_ref, wb2_ref,
 
 
 def k2_reduce(contrib, wa, wb, sstart, wa2, wb2, sec_mid, nmid, *,
-              op="sum", interpret=False, sec_sel=None, out_init=None,
-              lane_steps=7, row_steps=9):
+              op="sum", interpret=False, sec_cls=None, levels=None):
     """Segment-reduce contributions into per-mid y blocks.
 
     contrib: (nsec*512, 128) f32 in section order.
@@ -457,15 +504,16 @@ def k2_reduce(contrib, wa, wb, sstart, wa2, wb2, sec_mid, nmid, *,
              revisited out block and the accumulator-reset flag).
     Returns (nmid*512, 128) int32; bit pattern per op (quanta / f32).
 
-    Class mode (``sec_sel`` not None): process only the listed sections
-    with a scan truncated to ``lane_steps``/``row_steps`` (the depth
-    those sections' longest segments need — engine._k2_classes), and
-    accumulate into ``out_init`` (buffer-aliased; pre-initialized by
-    the caller, chained across class calls like the K1 window classes).
+    Class mode (``sec_cls``/``levels`` not None): per-section scan
+    depth.  sec_cls[k] indexes the static ``levels`` ladder of
+    (lane_steps, row_steps) pairs (engine._k2_classes); the kernel runs
+    each section's extra depth under scalar predication — one pallas
+    call, no per-class dispatch, no re-streamed output block (see
+    :func:`_segmented_scan_classed`).
     """
     sec_mid = sec_mid.astype(jnp.int32)
-    if sec_sel is None:
-        nsec = contrib.shape[0] // SEC_R
+    nsec = contrib.shape[0] // SEC_R
+    if sec_cls is None:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,   # sec_mid
             grid=(nsec,),
@@ -485,36 +533,28 @@ def k2_reduce(contrib, wa, wb, sstart, wa2, wb2, sec_mid, nmid, *,
             interpret=interpret,
         )(sec_mid, contrib, wa, wb, sstart, wa2, wb2)
 
-    sec_sel = sec_sel.astype(jnp.int32)
-
-    def _sec(k, sel, sm):
-        return (sel[k], 0)
-
-    def _out(k, sel, sm):
-        return (sm[sel[k]], 0)
-
+    levels = tuple((int(l), int(r)) for l, r in levels)
+    scan_dtype = jnp.float32 if op == "min" else jnp.int32
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,   # sec_sel, sec_mid
-        grid=(sec_sel.shape[0],),
-        in_specs=[pl.BlockSpec((SEC_R, 128), _sec)] * 6
-        + [pl.BlockSpec((SEC_R, 128), _out)],
-        out_specs=pl.BlockSpec((SEC_R, 128), _out),
+        num_scalar_prefetch=2,   # sec_cls, sec_mid
+        grid=(nsec,),
+        in_specs=[pl.BlockSpec((SEC_R, 128),
+                               lambda k, cl, sm: (k, 0))] * 6,
+        out_specs=pl.BlockSpec((SEC_R, 128),
+                               lambda k, cl, sm: (sm[k], 0)),
+        scratch_shapes=[pltpu.VMEM((SEC_R, 128), scan_dtype)] * 2,
     )
 
-    def kernel(sel_ref, sm_ref, v_ref, wa_ref, wb_ref, ss_ref, wa2_ref,
-               wb2_ref, prev_ref, out_ref):
+    def kernel(cls_ref, sm_ref, v_ref, wa_ref, wb_ref, ss_ref, wa2_ref,
+               wb2_ref, out_ref, qs_ref, rn_ref):
         k = pl.program_id(0)
-        cur = sm_ref[sel_ref[k]]
-        prv = sm_ref[sel_ref[jnp.maximum(k - 1, 0)]]
-        first = (k == 0) | (cur != prv)
         _k2_kernel(sm_ref, v_ref, wa_ref, wb_ref, ss_ref, wa2_ref,
-                   wb2_ref, out_ref, op=op, lane_steps=lane_steps,
-                   row_steps=row_steps, accumulate=(prev_ref, first))
+                   wb2_ref, out_ref, op=op, cls=cls_ref[k], levels=levels,
+                   qs_ref=qs_ref, rn_ref=rn_ref)
 
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nmid * SEC_R, 128), jnp.int32),
-        input_output_aliases={8: 0},  # prev/out (after 2 prefetch + 6 in)
         interpret=interpret,
-    )(sec_sel, sec_mid, contrib, wa, wb, sstart, wa2, wb2, out_init)
+    )(sec_cls.astype(jnp.int32), sec_mid, contrib, wa, wb, sstart, wa2, wb2)

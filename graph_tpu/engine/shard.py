@@ -67,7 +67,7 @@ class ShardedEdgeEngine:
             e.k2_classes = None  # per-device class splits differ in shape
             e.dev = {k: v for k, v in e.dev.items()
                      if not (k.startswith("border") and k != "border")
-                     and not k.startswith("k2sel")}
+                     and not k.startswith(("k2sel", "k2cls"))}
             e.dev[f"border{win}_rowscan"] = e.dev["border"]
         # stack per-device plan arrays along a leading axis
         devs = [e.dev for e in engines]
@@ -176,7 +176,7 @@ class RowBlockEdgeEngine:
             e.k2_classes = None  # per-device class splits differ in shape
             e.dev = {k: v for k, v in e.dev.items()
                      if not (k.startswith("border") and k != "border")
-                     and not k.startswith("k2sel")}
+                     and not k.startswith(("k2sel", "k2cls"))}
             e.dev[f"border{win}_rowscan"] = e.dev["border"]
         devs = [e.dev for e in engines]
         self.dev_stacked = {
