@@ -214,13 +214,28 @@ def pick_win(counts_by_cfg) -> tuple:
 
     counts_by_cfg: {(win, nslices): (nslots, rowcost)}.
     """
-    costs = {cfg: ns * WIN_COST_RATIO + rc
-             for cfg, (ns, rc) in counts_by_cfg.items()}
-    cmin = min(costs.values())
-    near = [cfg for cfg, c in costs.items() if c <= cmin * 1.05]
-    # fewest slots first; on equal slots prefer fewer staged slices
-    # (smaller VMEM scratch, cheaper non-modular fallback)
-    return min(near, key=lambda cfg: (counts_by_cfg[cfg][0], cfg[1]))
+    def _argmin(cands):
+        costs = {cfg: counts_by_cfg[cfg][0] * WIN_COST_RATIO
+                 + counts_by_cfg[cfg][1] for cfg in cands}
+        cmin = min(costs.values())
+        near = [cfg for cfg, c in costs.items() if c <= cmin * 1.05]
+        # fewest slots first; on equal slots prefer fewer staged slices
+        # (smaller VMEM scratch, cheaper non-modular fallback)
+        return min(near, key=lambda cfg: (counts_by_cfg[cfg][0], cfg[1]))
+
+    base_cands = [cfg for cfg in counts_by_cfg if cfg[0] <= 16384]
+    base = _argmin(base_cands or list(counts_by_cfg))
+    # The 32768 window only pays when it removes substantial pad: its
+    # wider K1 classes cost ~+0.01 ns/slot (measured scale 22, v8 —
+    # spmv 0.1515 -> 0.1604 for a 1.7% slot saving) while a slot costs
+    # ~0.15 ns end to end, so breakeven is ~7% fewer slots (scale-24
+    # pad 27.4% -> 18.2% clears it: spmv/edge 0.252-est -> 0.224).
+    wide = [cfg for cfg in counts_by_cfg if cfg[0] > 16384]
+    if wide:
+        w = min(wide, key=lambda cfg: counts_by_cfg[cfg][0])
+        if counts_by_cfg[w][0] < 0.93 * counts_by_cfg[base][0]:
+            return w
+    return base
 
 
 def plan_cache_path(cache_dir: str, src, dst, n: int, values=None,

@@ -336,10 +336,17 @@ GtLayout* gt_build_layout(const int64_t* src, const int64_t* dst,
                 cost[c] = nsl[c] * WIN_COST_RATIO + rc;
                 if (cmin < 0 || cost[c] < cmin) cmin = cost[c];
             }
-            // within 5% of the minimum, prefer fewest slots (less pad)
+            // within 5% of the minimum (over win <= 16384 candidates),
+            // prefer fewest slots (less pad)
             int best = 0;
             int64_t best_ns = -1;
+            cmin = -1;
+            for (int c = 0; c < ncand; c++)
+                if (WIN_CANDIDATES[c] <= 16384 &&
+                    (cmin < 0 || cost[c] < cmin))
+                    cmin = cost[c];
             for (int c = 0; c < ncand; c++) {
+                if (WIN_CANDIDATES[c] > 16384) continue;
                 // fewest slots; on ties prefer fewer staged slices
                 if (cost[c] * 20 <= cmin * 21 &&
                     (best_ns < 0 || nsl[c] < best_ns ||
@@ -349,6 +356,15 @@ GtLayout* gt_build_layout(const int64_t* src, const int64_t* dst,
                     best_ns = nsl[c];
                 }
             }
+            // The 32768 window only pays when it removes substantial
+            // pad: its wider K1 classes cost ~+0.01 ns/slot while a
+            // slot costs ~0.15 ns end to end — breakeven ~7% fewer
+            // slots (mirrors plan.py pick_win; measured v8 scale 22
+            // vs 24).
+            for (int c = 0; c < ncand; c++)
+                if (WIN_CANDIDATES[c] > 16384 &&
+                    nsl[c] * 100 < 93 * best_ns)
+                    { best = c; best_ns = nsl[c]; }
             win = WIN_CANDIDATES[best];
             nslices = NSLICE_CANDIDATES[best];
             mid_slots = counts[best];
