@@ -82,7 +82,6 @@ class TriangleCountResult:
 # device pieces
 
 
-@functools.partial(jax.jit, static_argnames=("cap",))
 def _emit_intra(chunk: jax.Array, cap: int):
     """All ordered pairs (i < j) within each row, via static slices."""
     vs = [chunk[:, : cap - s].reshape(-1) for s in range(1, cap)]
@@ -90,7 +89,6 @@ def _emit_intra(chunk: jax.Array, cap: int):
     return jnp.concatenate(vs), jnp.concatenate(ws)
 
 
-@jax.jit
 def _emit_cross(rows_a: jax.Array, rows_b: jax.Array):
     """Full outer products rows_a[i] x rows_b[i], via broadcasting."""
     r, c = rows_a.shape
@@ -99,7 +97,6 @@ def _emit_cross(rows_a: jax.Array, rows_b: jax.Array):
     return v.reshape(-1), w.reshape(-1)
 
 
-@jax.jit
 def _join_count(v: jax.Array, w: jax.Array, ev: jax.Array, ew: jax.Array):
     """Count wedges (v, w) for which an edge (ev, ew) exists.
 
@@ -192,19 +189,50 @@ def _pack_chunks(heads: np.ndarray, items: np.ndarray):
     return mats, cross
 
 
+@functools.partial(jax.jit, static_argnames=("cap", "rows_per"))
+def _group_intra(mat, r0, ev, ew, *, cap, rows_per):
+    """Fused emit + join for one row group of a chunk matrix.
+
+    One dispatch per group: the old pipeline pushed per-group emission
+    outputs through a host-managed pending list (eager slices +
+    concatenates + a separate join call), which cost several ~30 ms
+    tunnel dispatches per slab and re-uploaded every matrix slice at
+    ~53 MB/s; here the matrix lives on device once and the group is a
+    dynamic slice.  Pad rows (all-SENT) emit wedges that never match
+    an edge key."""
+    sub = jax.lax.dynamic_slice_in_dim(mat, r0, rows_per)
+    v, w = _emit_intra(sub, cap)
+    return _join_count(v, w, ev, ew)
+
+
+@functools.partial(jax.jit, static_argnames=("rows_per",))
+def _group_cross(A, B, r0, ev, ew, *, rows_per):
+    """Fused outer-product emit + join for one row group (see
+    :func:`_group_intra`)."""
+    v, w = _emit_cross(jax.lax.dynamic_slice_in_dim(A, r0, rows_per),
+                       jax.lax.dynamic_slice_in_dim(B, r0, rows_per))
+    return _join_count(v, w, ev, ew)
+
+
 def _run_join(mats, cross, ev, ew, cross_full=None):
-    """Emit wedges slab by slab and join against the edge keys.
+    """Emit wedges group by group and join against the edge keys.
 
     ``cross_full`` (multiset path) are (A, B) matrices whose outer
     products are the wedges G(v) x F(v); ``mats``/``cross`` cover the
     intra-list pair semantics (distinct path).
+
+    Each degree class processes ~SLAB wedges per fused emit+join call;
+    every matrix uploads once and its last group pads with SENT rows,
+    so the whole join is one device dispatch per ~SLAB wedges with no
+    host-side repacking.  Per-group counts stay DEVICE scalars until
+    the end (a host ``int()`` per group would serialize dispatch k+1
+    behind group k and pay the ~30 ms tunnel floor per sync).
     """
     # pad edges to a 2^20 multiple with a sentinel DISTINCT from the
     # wedge pad (so pad wedges never match pad edges) — coarse enough
     # that the compile cache reuses join programs across similar
-    # graphs, fine enough that the edges re-sorted with every slab
-    # carry <= 3% pad (the old next-power-of-two pad re-sorted up to
-    # 2x the real edges in all ~W/SLAB slabs)
+    # graphs, fine enough that the edges re-sorted with every group
+    # carry <= 3% pad
     unit = 1 << 20
     me = max(unit, -(-int(ev.size) // unit) * unit)
     ev = np.pad(ev.astype(np.int64), (0, me - ev.size),
@@ -213,75 +241,38 @@ def _run_join(mats, cross, ev, ew, cross_full=None):
                 constant_values=SENT + 1)
     ev_dev = jnp.asarray(ev.astype(np.int32))
     ew_dev = jnp.asarray(ew.astype(np.int32))
-    # per-slab counts stay DEVICE scalars until the end: a host
-    # ``int()`` per slab would serialize the host-side packing of slab
-    # k+1 behind the device join of slab k (and pay the ~30 ms tunnel
-    # dispatch floor per sync).  Summed as python ints afterwards so
-    # totals beyond int32 don't need x64 mode.
-    slab_counts = []
-    pend_v, pend_w, pend = [], [], 0
-
-    def flush(force=False):
-        nonlocal pend_v, pend_w, pend
-        while pend >= SLAB or (force and pend > 0):
-            # full slabs use the fixed SLAB shape (one compile); the
-            # final partial slab pads to the next power of two so tiny
-            # graphs don't sort 2^27 sentinels
-            tgt = SLAB if pend >= SLAB else 1 << max(pend - 1, 0).bit_length()
-            take_v, take_w, acc = [], [], 0
-            rest_v, rest_w = [], []
-            for v, w in zip(pend_v, pend_w):
-                if acc >= tgt:
-                    rest_v.append(v)
-                    rest_w.append(w)
-                elif acc + v.shape[0] <= tgt:
-                    take_v.append(v)
-                    take_w.append(w)
-                    acc += v.shape[0]
-                else:
-                    k = tgt - acc
-                    take_v.append(v[:k])
-                    take_w.append(w[:k])
-                    rest_v.append(v[k:])
-                    rest_w.append(w[k:])
-                    acc = tgt
-            pad = tgt - acc
-            if pad:
-                take_v.append(jnp.full(pad, SENT, jnp.int32))
-                take_w.append(jnp.full(pad, SENT, jnp.int32))
-            v = jnp.concatenate(take_v)
-            w = jnp.concatenate(take_w)
-            slab_counts.append(_join_count(v, w, ev_dev, ew_dev))
-            pend_v, pend_w = rest_v, rest_w
-            pend = sum(x.shape[0] for x in pend_v)
-
-    def push(v, w):
-        nonlocal pend
-        pend_v.append(v)
-        pend_w.append(w)
-        pend += v.shape[0]
-        flush()
-
+    counts = []
     for cap, mat in (mats or {}).items():
-        # slab-sized row groups keep emission outputs bounded
+        # slab-sized row groups keep the per-call sort shape ~SLAB
         pairs = cap * (cap - 1) // 2
         rows_per = max(1, SLAB // max(pairs, 1))
-        for r0 in range(0, mat.shape[0], rows_per):
-            sub = jnp.asarray(mat[r0 : r0 + rows_per])
-            v, w = _emit_intra(sub, cap)
-            push(v, w)
+        ngroups = -(-mat.shape[0] // rows_per)
+        pad_rows = ngroups * rows_per - mat.shape[0]
+        if pad_rows:
+            mat = np.pad(mat, ((0, pad_rows), (0, 0)),
+                         constant_values=SENT)
+        mat_dev = jnp.asarray(mat)
+        for g in range(ngroups):
+            counts.append(_group_intra(mat_dev, jnp.int32(g * rows_per),
+                                       ev_dev, ew_dev, cap=cap,
+                                       rows_per=rows_per))
     for pair in (cross, cross_full):
         if pair is None:
             continue
         A, B = pair
         per_row = A.shape[1] * B.shape[1]
         rows_per = max(1, SLAB // max(per_row, 1))
-        for r0 in range(0, A.shape[0], rows_per):
-            v, w = _emit_cross(jnp.asarray(A[r0 : r0 + rows_per]),
-                               jnp.asarray(B[r0 : r0 + rows_per]))
-            push(v, w)
-    flush(force=True)
-    return sum(int(c) for c in slab_counts)
+        ngroups = -(-A.shape[0] // rows_per)
+        pad_rows = ngroups * rows_per - A.shape[0]
+        if pad_rows:
+            A = np.pad(A, ((0, pad_rows), (0, 0)), constant_values=SENT)
+            B = np.pad(B, ((0, pad_rows), (0, 0)), constant_values=SENT)
+        A_dev = jnp.asarray(A)
+        B_dev = jnp.asarray(B)
+        for g in range(ngroups):
+            counts.append(_group_cross(A_dev, B_dev, jnp.int32(g * rows_per),
+                                       ev_dev, ew_dev, rows_per=rows_per))
+    return sum(int(c) for c in counts)
 
 
 # ---------------------------------------------------------------------------
