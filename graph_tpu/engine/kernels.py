@@ -437,15 +437,21 @@ def _k2_kernel(sm_ref, v_ref, wa_ref, wb_ref, ss_ref, wa2_ref, wb2_ref,
     k = pl.program_id(0)
     wa = wa_ref[:].astype(jnp.int32)
     v = v_ref[:]
-    pad_fill = {"sum": 0.0, "min": INF, "imin": IMAX}[op]
-    v = jnp.where((wa >> 15) == 1, pad_fill, v)
+    # Pad slots (bit 15 of wa) are NOT value-masked here: the sorted
+    # layout confines them to their own segments (sort keys -1 / MID),
+    # the segmented scan never combines across segment starts, and
+    # route 2's present bit masks their outputs — so whatever K1's
+    # default pad gather produced stays inert (3 VREG ops saved/slot).
     v = _benes(v, wa, wb_ref[:].astype(jnp.int32))
     # v is destination-sorted (lead pad first, tail pads last)
 
     ss = ss_ref[:].astype(jnp.int32)
+    if op == "sum" and v.dtype == jnp.int32:
+        q = v  # pre-quantized fixed-point contributions (engine sum path)
+    elif op == "sum":
+        q = jnp.round(v * jnp.float32(1 << FIXED_BITS)).astype(jnp.int32)
     if cls is not None:
         if op == "sum":
-            q = jnp.round(v * jnp.float32(1 << FIXED_BITS)).astype(jnp.int32)
             S = _segmented_scan_classed(q, ss, "sum", cls, levels,
                                         qs_ref, rn_ref)
         elif op == "imin":
@@ -456,7 +462,6 @@ def _k2_kernel(sm_ref, v_ref, wa_ref, wb_ref, ss_ref, wa2_ref, wb2_ref,
                 _segmented_scan_classed(v, ss, "min", cls, levels,
                                         qs_ref, rn_ref), jnp.int32)
     elif op == "sum":
-        q = jnp.round(v * jnp.float32(1 << FIXED_BITS)).astype(jnp.int32)
         S = _segmented_scan(q, ss, "sum", lane_steps, row_steps)
     elif op == "imin":
         S = _segmented_scan(v, ss, "min", lane_steps, row_steps)
