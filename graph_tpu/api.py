@@ -11,6 +11,25 @@ cached host copy of the CSR arrays (the analog of mate's
 shared_slice.rs:29-161) — views stay valid after the graph is dropped
 because they hold the base buffer alive, which is what the reference's
 PyCapsule-owner machinery emulates manually.
+
+Example (mirrors the runnable examples on every public API in the
+reference, crates/builder/src/lib.rs:44-251):
+
+    >>> import numpy as np
+    >>> from graph_tpu.api import Graph, DiGraph, Layout
+    >>> g = Graph.from_numpy(np.array([[0, 1], [1, 2], [2, 0]],
+    ...                               dtype=np.uint32), layout=Layout.Sorted)
+    >>> (g.node_count(), g.edge_count())
+    (3, 3)
+    >>> g.degree(0)
+    2
+    >>> sorted(g.copy_neighbors(1))
+    [0, 2]
+    >>> g.global_triangle_count().triangles
+    1
+    >>> dg = DiGraph.from_numpy(np.array([[0, 1], [0, 2]], dtype=np.uint32))
+    >>> (dg.out_degree(0), dg.in_degree(2))
+    (2, 1)
 """
 
 from __future__ import annotations
@@ -49,15 +68,26 @@ class FileFormat:
 
 
 class PageRankResult:
-    """mate ``PageRankResult`` analog (crates/mate/src/page_rank.rs:42-74)."""
+    """mate ``PageRankResult`` analog (crates/mate/src/page_rank.rs:42-74).
+
+    ``scores()`` downloads the device array on FIRST call and caches the
+    numpy view (the reference's scores() is a zero-copy numpy alias,
+    page_rank.rs:52-60; here the device->host transfer is the analog and
+    is deferred so constructing a result never stalls on the transfer
+    link — at scale 22 an eager download costs minutes on a slow
+    device->host path, see PERF_NOTES "transfer asymmetry").
+    """
 
     def __init__(self, inner: _pagerank.PageRankResult):
-        self._scores = np.asarray(inner.scores)
+        self._device_scores = inner.scores
+        self._scores = None
         self.ran_iterations = inner.ran_iterations
         self.error = inner.error
         self.micros = inner.micros
 
     def scores(self) -> np.ndarray:
+        if self._scores is None:
+            self._scores = np.asarray(self._device_scores)
         return self._scores
 
     def __repr__(self):
@@ -71,10 +101,13 @@ class WccResult:
     """mate ``WccResult`` analog (crates/mate/src/wcc.rs:43-88)."""
 
     def __init__(self, inner: _wcc.WccResult):
-        self._components = np.asarray(inner.components)
+        self._device_components = inner.components
+        self._components = None  # downloaded lazily, like PageRankResult
         self.micros = inner.micros
 
     def components(self) -> np.ndarray:
+        if self._components is None:
+            self._components = np.asarray(self._device_components)
         return self._components
 
     def __repr__(self):

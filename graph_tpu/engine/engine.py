@@ -167,7 +167,17 @@ class EdgeEngine:
     If the plan was built with ``relabel="degree"``, the kernels run in
     an internal node order; the public ops permute in/out per call, and
     iterative drivers pass ``internal=True`` with pre-permuted vectors
-    (see :func:`permute`) to pay the two permutes once per run."""
+    (see :func:`permute`) to pay the two permutes once per run.
+
+    >>> import numpy as np
+    >>> from graph_tpu.engine.engine import EdgeEngine
+    >>> from graph_tpu.engine.plan import build_plan
+    >>> plan = build_plan(np.array([0, 1, 2]), np.array([2, 2, 0]), n=3)
+    >>> eng = EdgeEngine(plan, interpret=True)  # interpret: runs anywhere
+    >>> x = np.array([0.25, 0.5, 0.125], np.float32)
+    >>> np.asarray(eng.spmv(x)).tolist()  # y[d] = sum of x[s] over s->d
+    [0.125, 0.0, 0.75]
+    """
 
     def __init__(self, plan: EdgePlan, interpret: bool = False):
         self.plan = plan

@@ -498,7 +498,12 @@ def k2_reduce(contrib, wa, wb, sstart, wa2, wb2, sec_mid, nmid, *,
               op="sum", interpret=False, sec_cls=None, levels=None):
     """Segment-reduce contributions into per-mid y blocks.
 
-    contrib: (nsec*512, 128) f32 in section order.
+    contrib: (nsec*512, 128) in section order — f32 values, or int32
+             fixed-point quanta for op="sum" when the caller (the
+             engine sum path) pre-quantized x to round(x * 2**30);
+             _k2_kernel dispatches on the dtype and skips the in-kernel
+             quantize for int32 (bit-identical: round commutes with the
+             gather).
     wa, wb:  (nsec*512, 128) uint16 packed Benes route 1 (slot order ->
              destination-sorted; bit 15 of wa = input pad).
     sstart:  (nsec*512, 128) uint16 segment-start positions (sorted

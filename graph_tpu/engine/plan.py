@@ -470,8 +470,12 @@ def build_plan(
         else:
             ws[t] = 0
         # pads gather window position (row*128): row-conformal (so pad
-        # tiles never demote a block from rowmatch mode), always < win,
-        # value masked by K2's pad bit either way
+        # tiles never demote a block from rowmatch mode), always < win
+        # (in-bounds).  Pad VALUES are UNMASKED in K2 (the round-3 trim
+        # removed the value mask): whatever the gather produces stays
+        # inert only because the sorted layout confines pads to their
+        # own segments (sort keys -1 / MID) and route 2's present bit
+        # masks their outputs — a layout invariant, not a kernel one.
         fill = _ROWPAT.copy()
         dloc = np.full(TILE, MID, np.int32)
         off = lead

@@ -16,6 +16,7 @@ adding an edge to an unknown node raises (adj_list.rs MissingNode).
 
 from __future__ import annotations
 
+import threading
 from typing import Optional
 
 import numpy as np
@@ -45,6 +46,12 @@ class _ALGraphBase:
             self._values = [float(v) for v in values]
         self.layout = layout
         self._snapshot = None
+        # The reference's AL graphs are safe under parallel insertion
+        # (adj_list.rs:16-19 Vec<RwLock<Vec<Target>>>; parallel-mutation
+        # tests adj_list.rs:895-910).  The COO buffer here appends to
+        # two (three) lists, so concurrent add_edge calls could
+        # interleave and misalign src/dst pairs without this lock.
+        self._mutate_lock = threading.Lock()
 
     @property
     def node_count(self) -> int:
@@ -64,22 +71,25 @@ class _ALGraphBase:
             raise GraphError("weighted graph requires add_edge_with_value")
         self._check_node(source)
         self._check_node(target)
-        self._src.append(int(source))
-        self._dst.append(int(target))
-        self._snapshot = None
+        with self._mutate_lock:
+            self._src.append(int(source))
+            self._dst.append(int(target))
+            self._snapshot = None
 
     def add_edge_with_value(self, source: int, target: int, value: float) -> None:
         """EdgeMutationWithValues analog (lib.rs:435-456)."""
         self._check_node(source)
         self._check_node(target)
-        if self._values is None:
-            if self._src:
-                raise GraphError("unweighted graph cannot take weighted edges")
-            self._values = []
-        self._src.append(int(source))
-        self._dst.append(int(target))
-        self._values.append(float(value))
-        self._snapshot = None
+        with self._mutate_lock:
+            if self._values is None:
+                if self._src:
+                    raise GraphError(
+                        "unweighted graph cannot take weighted edges")
+                self._values = []
+            self._src.append(int(source))
+            self._dst.append(int(target))
+            self._values.append(float(value))
+            self._snapshot = None
 
     def _build(self):
         raise NotImplementedError

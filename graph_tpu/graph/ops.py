@@ -17,6 +17,7 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
+from graph_tpu.errors import InvalidPartitioning
 from graph_tpu.graph.build import csr_from_coo
 from graph_tpu.graph.csr import (
     Csr,
@@ -47,6 +48,13 @@ def make_degree_ordered(graph: UndirectedCsrGraph) -> UndirectedCsrGraph:
     (graph_ops.rs:135-174).  The result always has sorted neighbor lists
     (the reference sorts relabeled targets, graph_ops.rs:632); a
     DEDUPLICATED input stays deduplicated.
+
+    >>> import numpy as np
+    >>> from graph_tpu.graph.build import build_undirected
+    >>> g = build_undirected([3, 3, 3, 0], [0, 1, 2, 1], node_count=4)
+    >>> g2 = make_degree_ordered(g)  # hub node 3 becomes node 0
+    >>> np.diff(np.asarray(g2.csr.offsets)).tolist()
+    [3, 2, 2, 1]
     """
     csr = graph.csr
     degrees = np.diff(np.asarray(csr.offsets))
@@ -127,11 +135,24 @@ def degree_partition(degrees: np.ndarray, concurrency: int) -> list:
     (graph_ops.rs:331-440).  On a single TPU chip dense kernels make this
     unnecessary; it is the host-side analog used to row-block the CSR
     for multi-chip sharding (SURVEY.md §5).
+
+    >>> degree_partition([1, 1, 1, 1], 2)
+    [(0, 2), (2, 4)]
+    >>> degree_partition([9, 1, 1, 1], 2)  # hub gets its own range
+    [(0, 1), (1, 4)]
     """
     degrees = np.asarray(degrees, dtype=np.int64)
+    if concurrency < 1:
+        # Reference: partitioning with an invalid config is an
+        # Error::InvalidPartitioning (builder/src/lib.rs:274-302), not a
+        # silent clamp.
+        raise InvalidPartitioning(
+            f"concurrency must be >= 1, got {concurrency}")
+    if (degrees < 0).any():
+        raise InvalidPartitioning("degrees must be non-negative")
     n = degrees.shape[0]
     total = int(degrees.sum()) + n
-    batch = max(total // max(concurrency, 1), 1)
+    batch = max(total // concurrency, 1)
     partitions = []
     start = 0
     acc = 0

@@ -50,6 +50,23 @@ def _csr_to_host(csr: Csr):
 
 
 def save_graph(path: str, graph: Union[DirectedCsrGraph, UndirectedCsrGraph]):
+    """Write a binary snapshot (csr.rs:252-282 ``serialize`` analog).
+
+    >>> import os, tempfile
+    >>> from graph_tpu.graph.build import build_directed
+    >>> from graph_tpu.io.binary import load_graph, save_graph
+    >>> g = build_directed([0, 1, 2], [1, 2, 0], node_count=3)
+    >>> path = os.path.join(tempfile.mkdtemp(), "g.bin")
+    >>> save_graph(path, g)
+    >>> g2 = load_graph(path)
+    >>> (g2.node_count, g2.edge_count)
+    (3, 3)
+    >>> import numpy as np
+    >>> load_graph(path, id_dtype=np.int64)  # header dtype is checked
+    Traceback (most recent call last):
+        ...
+    graph_tpu.errors.InvalidIdType: ...
+    """
     directed = isinstance(graph, DirectedCsrGraph)
     csrs = [graph.csr_out, graph.csr_in] if directed else [graph.csr]
     offsets0, targets0, values0 = _csr_to_host(csrs[0])

@@ -43,11 +43,18 @@ class GraphCatalog:
         with self._lock:
             self._graphs[name] = graph
 
-    def remove(self, name: str) -> None:
+    def remove(self, name: str) -> Tuple[str, str, int, int]:
+        """Remove and return the graph's info tuple.
+
+        The reference returns the removed graph's ``GraphInfo``
+        (catalog.rs:191-205), which the server serializes back to the
+        client (server.rs:333-339).
+        """
         with self._lock:
             if name not in self._graphs:
                 raise GraphNotFound(f"Graph with name '{name}' not found")
-            del self._graphs[name]
+            g = self._graphs.pop(name)
+            return (name, graph_type_name(g), g.node_count, g.edge_count)
 
     def list(self) -> List[Tuple[str, str, int, int]]:
         with self._lock:

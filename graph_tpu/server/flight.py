@@ -108,8 +108,16 @@ class GraphFlightServer(flight.FlightServerBase):
 
     def _remove(self, body: bytes):
         name = json.loads(body)["graph_name"]
-        self.catalog.remove(name)
-        return {}
+        rname, gtype, n, m = self.catalog.remove(name)
+        # The reference returns the removed graph's GraphInfo
+        # (server.rs:333-339, catalog.rs:191-205) so clients can confirm
+        # what was dropped.
+        return {
+            "graph_name": rname,
+            "graph_type": gtype,
+            "node_count": n,
+            "edge_count": m,
+        }
 
     def _to_relabeled(self, body: bytes):
         from graph_tpu.graph.ops import make_degree_ordered
@@ -192,9 +200,21 @@ class GraphFlightServer(flight.FlightServerBase):
         from graph_tpu.graph.build import build_directed, build_undirected
 
         t0 = time.perf_counter()
-        table = reader.read_all()
-        src = table.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
-        dst = table.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+        # Ingest record batches incrementally (server.rs:109-177 streams
+        # batches into the edge list as they arrive): each batch is
+        # converted to numpy and released before the next is read, so
+        # peak memory is the edge arrays, not the Arrow table + arrays.
+        src_chunks, dst_chunks = [], []
+        for chunk in reader:
+            batch = chunk.data
+            src_chunks.append(
+                batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64))
+            dst_chunks.append(
+                batch.column(1).to_numpy(zero_copy_only=False).astype(np.int64))
+        src = (np.concatenate(src_chunks) if src_chunks
+               else np.zeros(0, np.int64))
+        dst = (np.concatenate(dst_chunks) if dst_chunks
+               else np.zeros(0, np.int64))
         build = build_undirected if cmd.orientation == "Undirected" else build_directed
         g = build(src, dst, layout=cmd.csr_layout)
         self.catalog.insert(cmd.graph_name, g)

@@ -69,3 +69,35 @@ def test_algorithms_run_on_snapshot():
     assert res.component(2) != res.component(1)
     pr = page_rank(g.snapshot())
     assert pr.scores_np().shape == (4,)
+
+
+def test_parallel_mutation_is_safe():
+    # reference: parallel insertion tests adj_list.rs:895-910 — two
+    # threads adding edges concurrently must not misalign src/dst pairs
+    import threading
+
+    g = DirectedALGraph(64)
+    per_thread = 2000
+    barrier = threading.Barrier(2)
+
+    def adder(base):
+        barrier.wait()
+        for i in range(per_thread):
+            g.add_edge(base, (base + i) % 64)
+
+    threads = [threading.Thread(target=adder, args=(b,)) for b in (1, 2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert g.edge_count == 2 * per_thread
+    # src identifies the inserting thread, so the dst multiset per src
+    # must match what that thread inserted — an interleaved append
+    # would pair one thread's src with the other's dst
+    src = np.asarray(g._src)
+    dst = np.asarray(g._dst)
+    for b in (1, 2):
+        assert src[src == b].size == per_thread
+        got = np.sort(dst[src == b])
+        want = np.sort((b + np.arange(per_thread)) % 64)
+        np.testing.assert_array_equal(got, want)

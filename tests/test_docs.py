@@ -41,6 +41,10 @@ def test_readme_block_runs(idx, tmp_path, monkeypatch):
     "graph_tpu.algos.pagerank",
     "graph_tpu.algos.wcc",
     "graph_tpu.algos.triangle_count",
+    "graph_tpu.api",
+    "graph_tpu.graph.ops",
+    "graph_tpu.io.binary",
+    "graph_tpu.engine.engine",
 ])
 def test_module_doctests(modname):
     import importlib

@@ -1,6 +1,7 @@
 """Graph-transform tests (reference: graph_ops.rs:640-775)."""
 
 import numpy as np
+import pytest
 
 from graph_tpu import GraphBuilder, build_undirected
 from graph_tpu.graph.csr import CsrLayout
@@ -74,3 +75,13 @@ def test_degree_partition_covers_all_nodes():
     assert parts[-1][1] == 8
     for (a, b), (c, d) in zip(parts, parts[1:]):
         assert b == c
+
+
+def test_degree_partition_invalid_raises():
+    # reference: Error::InvalidPartitioning (builder/src/lib.rs:274-302)
+    from graph_tpu.errors import InvalidPartitioning
+
+    with pytest.raises(InvalidPartitioning):
+        degree_partition([1, 2, 3], 0)
+    with pytest.raises(InvalidPartitioning):
+        degree_partition([1, -2, 3], 2)

@@ -47,7 +47,15 @@ def test_create_list_remove(client):
     names = [g["graph_name"] for g in listing["graph_infos"]]
     assert "g1" in names
 
-    do(client, "remove", {"graph_name": "g1"})
+    # the reference returns the removed graph's GraphInfo
+    # (server.rs:333-339, catalog.rs:191-205)
+    removed = do(client, "remove", {"graph_name": "g1"})
+    assert removed == {
+        "graph_name": "g1",
+        "graph_type": "Directed",
+        "node_count": 5,
+        "edge_count": 6,
+    }
     listing = do(client, "list", {})
     assert "g1" not in [g["graph_name"] for g in listing["graph_infos"]]
 

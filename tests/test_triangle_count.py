@@ -86,7 +86,8 @@ def test_tc_sorted_no_dups_matches_dedup():
 
 
 def test_tc_crosses_block_boundary():
-    # triangle spanning the 4096-column bitmap block edge
+    # triangle whose vertex ids straddle a 4096 boundary (regression
+    # from the round-1 bitmap design; the sort-join TC must not care)
     base = 4090
     edges = [(base, base + 10), (base + 10, base + 20), (base + 20, base)]
     g = build_undirected(
