@@ -44,14 +44,26 @@ def _k1_classes(plan: EdgePlan):
     widx = plan.widx.astype(np.int32)
     lm = (plan.lm.astype(bool) if getattr(plan, "lm", None) is not None
           else np.zeros(nblocks, bool))
+    lm2 = (plan.lm2.astype(bool) if getattr(plan, "lm2", None) is not None
+           else np.zeros(nblocks, bool))
     tile_max = widx.reshape(-1, TILE).max(axis=1).astype(np.int64)
     blk_rows = tile_max.reshape(-1, TPB).max(axis=1) // 128 + 1
-    # lanemap blocks (plan lanemap_pack): widx carries the 8-bit row
-    # TABLE in bits 7..14, so their window need comes from the largest
-    # table entry, not from a (meaningless) position decode
-    amax = ((widx >> 7) & 255).reshape(-1, TILE).max(axis=1)
+    # lanemap blocks (plan lanemap_pack): widx carries the row TABLE in
+    # bits 7..14 (8 bits; 9 bits incl. bit 15 for win-65536 plans), so
+    # their window need comes from the largest table entry, not from a
+    # (meaningless) position decode
+    tmask = 511 if plan.win > 32768 else 255
+    amax = ((widx >> 7) & tmask).reshape(-1, TILE).max(axis=1)
     lm_rows = amax.reshape(-1, TPB).max(axis=1).astype(np.int64) + 1
     blk_rows = np.where(lm, lm_rows, blk_rows)
+    if lm2.any():
+        # two-table blocks: need covers both tables (table 1 is 8-bit
+        # here — bit 15 is the slot's table-select)
+        a1max = ((widx >> 7) & 255).reshape(-1, TILE).max(axis=1)
+        t2max = plan.wt2.astype(np.int64).reshape(-1, TILE).max(axis=1)
+        lm2_rows = np.maximum(a1max.reshape(-1, TPB).max(axis=1),
+                              t2max.reshape(-1, TPB).max(axis=1)) + 1
+        blk_rows = np.where(lm2, lm2_rows, blk_rows)
     # 1024-granularity classes (ws starts are 1024-aligned): power-of-two
     # rounding cost up to 2x scan rows (e.g. 37 actual rows paid 64)
     need = np.maximum(1024, np.minimum(
@@ -60,10 +72,11 @@ def _k1_classes(plan: EdgePlan):
     r3 = (widx >> 7) & 7
     rowpat = (np.arange(widx.shape[0], dtype=np.int32) % 8)[:, None]
     conform = ((r3 == rowpat).all(axis=1)
-               .reshape(-1, BLK // 128).all(axis=1)) & ~lm
+               .reshape(-1, BLK // 128).all(axis=1)) & ~lm & ~lm2
     out = []
-    for mode, sel in (("rowscan", ~conform & ~lm), ("rowmatch", conform),
-                      ("lanemap", lm)):
+    for mode, sel in (("rowscan", ~conform & ~lm & ~lm2),
+                      ("rowmatch", conform),
+                      ("lanemap", lm), ("lanemap2", lm2)):
         if not sel.any():
             continue
         need_m = np.where(sel, need, -1)
@@ -204,7 +217,8 @@ class EdgeEngine:
                 xp, dev["widx"], dev[f"border{win_c}_{mode_c}"], dev["sb"],
                 dev["ws"], win=win_c, nslices=self.plan.nslices,
                 weights=weights, combine=combine, mode=mode_c,
-                out_init=contrib, interpret=self.interpret)
+                out_init=contrib, interpret=self.interpret,
+                wt2=dev.get("wt2") if mode_c == "lanemap2" else None)
         return contrib
 
     def _k2(self, dev, contrib, op):

@@ -58,7 +58,7 @@ def _pmod(a, n):
 
 def _k1_kernel(border_ref, sb_ref, ws_ref, x_refs, widx_ref, out_ref,
                xs_ref, *, win=WIN, ew_ref=None, combine="none",
-               mode="rowscan", modular=False):
+               mode="rowscan", modular=False, wt2_ref=None):
     """Windowed gather; optionally combines a per-edge weight stream:
     combine="add" -> x[src] + w (tropical, SSSP relaxation),
     combine="mul" -> x[src] * w (weighted SpMV).
@@ -143,13 +143,15 @@ def _k1_kernel(border_ref, sb_ref, ws_ref, x_refs, widx_ref, out_ref,
             # each (row, window-lane) pair maps to one window row and
             # packs the stream as  table row (bits 7..14, at the slot's
             # PHYSICAL lane)  |  slot window lane (bits 0..6); 8 table
-            # bits cover windows up to 32768.  Mosaic lowers the 8-deep
-            # sublane gather natively, so each 8-row window group costs
+            # bits cover windows up to 32768, and win-65536 plans use a
+            # 9-bit table (bits 7..15 — bit 15 is otherwise unused in
+            # the lanemap encoding).  Mosaic lowers the 8-deep sublane
+            # gather natively, so each 8-row window group costs
             # 2 VREG ops + one final lane taa — measured
             # window-size-independent ~0.148 ns/slot vs 0.38 for the
             # win-16384 rowscan (scripts/perf_k1_lanemap.py);
             # duplicates of one src are free (unlike "rowmatch").
-            A = (idx >> 7) & 255
+            A = (idx >> 7) & (511 if win > 32768 else 255)
             if win == 1024:
                 u = jnp.take_along_axis(w[0:8, :], A, axis=0)
             else:
@@ -160,6 +162,38 @@ def _k1_kernel(border_ref, sb_ref, ws_ref, x_refs, widx_ref, out_ref,
                                               A & 7, axis=0)
                     u = jnp.where(g_of == g, sub, u)
             acc = jnp.take_along_axis(u, lo, axis=1)
+        elif mode == "lanemap2":
+            # Two-table lanemap (round 4): per (VREG row, window lane)
+            # TWO candidate window rows — table 1 in widx bits 7..14,
+            # table 2 in a second uint8 stream (wt2), the slot's choice
+            # in widx bit 15 (evaluated at the slot's own position,
+            # after both gathers).  Doubles the per-(row,lane) capacity:
+            # measured on the scale-22 plan, 2 tables rescue ~76% of
+            # the blocks the 1-table pass rejects (~96% total lanemap
+            # coverage; scripts/lanemap2_stats.py).
+            A1 = (idx >> 7) & 255
+            sel = idx >> 15
+            A2 = wt2_ref[pl.ds(t * 8, 8), :].astype(jnp.int32)
+            if win == 1024:
+                u1 = jnp.take_along_axis(w[0:8, :], A1, axis=0)
+                u2 = jnp.take_along_axis(w[0:8, :], A2, axis=0)
+            else:
+                g1 = A1 >> 3
+                g2 = A2 >> 3
+                u1 = jnp.zeros((8, 128), xs_ref.dtype)
+                u2 = jnp.zeros((8, 128), xs_ref.dtype)
+                for g in range(win // 1024):
+                    wg = w[g * 8:(g + 1) * 8, :]
+                    u1 = jnp.where(g1 == g,
+                                   jnp.take_along_axis(wg, A1 & 7, axis=0),
+                                   u1)
+                    u2 = jnp.where(g2 == g,
+                                   jnp.take_along_axis(wg, A2 & 7, axis=0),
+                                   u2)
+            acc = jnp.where(
+                sel == 1,
+                jnp.take_along_axis(u2, lo, axis=1),
+                jnp.take_along_axis(u1, lo, axis=1))
         else:
             hi = idx >> 7
             acc = jnp.zeros((8, 128), xs_ref.dtype)
@@ -179,7 +213,7 @@ def _k1_kernel(border_ref, sb_ref, ws_ref, x_refs, widx_ref, out_ref,
 
 def k1_gather(x_padded, widx, border, sb, ws, *, win=WIN, nslices=NSLICES,
               weights=None, combine="add", out_init=None, interpret=False,
-              mode="rowscan", modular=None):
+              mode="rowscan", modular=None, wt2=None):
     """Per-edge gather: out[i] = x_padded[plan position of slot i].
 
     x_padded: (nx,) f32, nx a multiple of SLICE (>= (max(sb)+NSLICES)*SLICE).
@@ -202,8 +236,10 @@ def k1_gather(x_padded, widx, border, sb, ws, *, win=WIN, nslices=NSLICES,
     """
     nrows = widx.shape[0]
     nblk = border.shape[0]
+    if (wt2 is not None) != (mode == "lanemap2"):
+        raise ValueError("wt2 is required iff mode='lanemap2'")
     n_in = ((1 + nslices) if weights is None else (2 + nslices)) + (
-        0 if out_init is None else 1)
+        0 if out_init is None else 1) + (0 if wt2 is None else 1)
     if modular is None:
         # Default OFF (measured): the block visit order is slice-major
         # (border sorted by sb), so slice-base changes are rare (~one
@@ -242,22 +278,31 @@ def k1_gather(x_padded, widx, border, sb, ws, *, win=WIN, nslices=NSLICES,
         scratch_shapes=[pltpu.VMEM(
             ((nslices + (1 if modular else 0)) * SLICE,), x_padded.dtype)],
     )
+    nw = 0 if wt2 is None else 1
+
     if weights is None:
         def kernel(border_ref, sb_ref, ws_ref, *rest):
             x_refs = rest[:nslices]
             widx_ref, out_ref, xs_ref = rest[nslices], rest[-2], rest[-1]
+            wt2_ref = rest[nslices + 1] if nw else None
             _k1_kernel(border_ref, sb_ref, ws_ref, x_refs, widx_ref,
-                       out_ref, xs_ref, win=win, mode=mode, modular=modular)
-        args = [border, sb, ws] + [x_padded] * nslices + [widx]
+                       out_ref, xs_ref, win=win, mode=mode, modular=modular,
+                       wt2_ref=wt2_ref)
+        args = ([border, sb, ws] + [x_padded] * nslices + [widx]
+                + ([] if wt2 is None else [wt2]))
     else:
         def kernel(border_ref, sb_ref, ws_ref, *rest):
             x_refs = rest[:nslices]
-            widx_ref, ew_ref = rest[nslices], rest[nslices + 1]
+            widx_ref = rest[nslices]
+            wt2_ref = rest[nslices + 1] if nw else None
+            ew_ref = rest[nslices + 1 + nw]
             out_ref, xs_ref = rest[-2], rest[-1]
             _k1_kernel(border_ref, sb_ref, ws_ref, x_refs, widx_ref,
                        out_ref, xs_ref, win=win, ew_ref=ew_ref,
-                       combine=combine, mode=mode, modular=modular)
-        args = [border, sb, ws] + [x_padded] * nslices + [widx, weights]
+                       combine=combine, mode=mode, modular=modular,
+                       wt2_ref=wt2_ref)
+        args = ([border, sb, ws] + [x_padded] * nslices + [widx]
+                + ([] if wt2 is None else [wt2]) + [weights])
     aliases = {}
     if out_init is not None:
         aliases = {len(args): 0}  # operand index -> output 0

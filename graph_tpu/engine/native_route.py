@@ -172,6 +172,53 @@ def lanemap_pack_native(widx: np.ndarray, keys: np.ndarray,
     return lm.astype(bool)
 
 
+def lanemap2_pack_native(widx: np.ndarray, keys: np.ndarray,
+                         wvals, win: int, skip: np.ndarray,
+                         nthreads: int = 0):
+    """In-place two-table lanemap repack (native/lanemap.cpp, round 4).
+
+    Mirrors graph_tpu.engine.lanemap.lanemap2_pack bit for bit; returns
+    (lm2 mask, wt2 flat) or None when the native library is unavailable
+    (caller falls back to the python pass).
+    """
+    lib = _load_lanemap()
+    if lib is None:
+        return None
+    try:
+        fn = lib.gt_lanemap2_pack
+    except AttributeError:  # older .so without the symbol
+        return None
+    fn.argtypes = [
+        ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+    ]
+    assert widx.dtype == np.uint16 and widx.flags.c_contiguous
+    assert keys.dtype == np.int32 and keys.flags.c_contiguous
+    vptr = None
+    if wvals is not None:
+        assert wvals.dtype == np.float32 and wvals.flags.c_contiguous
+        vptr = wvals.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    nblocks = widx.size // 16384
+    lm2 = np.zeros(nblocks, np.uint8)
+    wt2 = np.zeros(widx.size, np.uint8)
+    skip8 = np.ascontiguousarray(skip.astype(np.uint8))
+    if nthreads <= 0:
+        nthreads = min(32, os.cpu_count() or 1)
+    rc = fn(
+        widx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        vptr, ctypes.c_int64(widx.size), ctypes.c_int64(win),
+        skip8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lm2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        wt2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int(nthreads))
+    if rc != 0:  # pragma: no cover
+        return None
+    return lm2.astype(bool), (wt2 if lm2.any() else None)
+
+
 def build_layout_native(src, dst, values=None, n=0, win: int = 0,
                         nslices: int = 0, n_src: int = 0, nthreads: int = 0):
     """Sort + slot-stream layout in C++ (win=0 auto-selects the K1

@@ -88,12 +88,19 @@ class EdgePlan:
     # the lane-mapped widx encoding (kernels mode="lanemap"; see
     # graph_tpu.engine.lanemap).  None = no block is lane-mapped.
     lm: "np.ndarray | None" = None  # (nblocks,) uint8 or None
+    # two-table lanemap blocks (optional, round 4): blocks pass 1
+    # rejected but a second row table rescues (kernels mode="lanemap2").
+    # wt2 is the full table-2 stream, read only for these blocks.
+    lm2: "np.ndarray | None" = None  # (nblocks,) uint8 or None
+    wt2: "np.ndarray | None" = None  # (nslots//128, 128) uint8 or None
 
     @property
     def nsrc(self) -> int:
         return self.n_src or self.n
 
-    FORMAT_VERSION = 8  # v8: 8-bit lanemap row table at bits 7..14
+    FORMAT_VERSION = 9  # v9: two-table lanemap (lm2/wt2) + 9-bit
+    # tables for win-65536 plans;
+    # v8: 8-bit lanemap row table at bits 7..14
     # (windows up to 32768);
     # v7: lanemap tile packing (K1 lanemap classes);
     # v6: row-matched tile placement (K1 rowmatch);
@@ -122,6 +129,10 @@ class EdgePlan:
                   else self.perm),
             lm=(np.zeros(0, np.uint8) if self.lm is None
                 else self.lm.astype(np.uint8)),
+            lm2=(np.zeros(0, np.uint8) if self.lm2 is None
+                 else self.lm2.astype(np.uint8)),
+            wt2=(np.zeros(0, np.uint8) if self.wt2 is None
+                 else self.wt2),
         )
 
     @staticmethod
@@ -136,6 +147,8 @@ class EdgePlan:
         w = z["weights"]
         perm = z["perm"] if "perm" in z.files else np.zeros(0, np.int32)
         lm = z["lm"] if "lm" in z.files else np.zeros(0, np.uint8)
+        lm2 = z["lm2"] if "lm2" in z.files else np.zeros(0, np.uint8)
+        wt2 = z["wt2"] if "wt2" in z.files else np.zeros(0, np.uint8)
         return EdgePlan(
             n=int(h[0]), m=int(h[1]), nslots=int(h[2]), nmid=int(h[3]),
             nsec=int(h[4]), nx=int(h[5]), win=int(h[7]),
@@ -148,6 +161,8 @@ class EdgePlan:
             perm=None if perm.size == 0 else perm,
             n_src=int(h[9]) if h.size > 9 else 0,
             lm=None if lm.size == 0 else lm,
+            lm2=None if lm2.size == 0 else lm2,
+            wt2=None if wt2.size == 0 else wt2,
         )
 
     def device_arrays(self):
@@ -172,6 +187,8 @@ class EdgePlan:
             iperm[self.perm] = np.arange(self.n, dtype=self.perm.dtype)
             out["perm"] = jnp.asarray(self.perm)
             out["iperm"] = jnp.asarray(iperm)
+        if self.wt2 is not None:
+            out["wt2"] = jnp.asarray(self.wt2)
         return out
 
 
@@ -494,8 +511,8 @@ def build_plan(
         pos += TILE
 
     # ---- lanemap repack (before routing: it permutes keys in-tile)
-    lm = (None if lanemap is False else
-          _lanemap_pass(widx_flat, slot_dstl, wvals, win, nblocks))
+    lm, lm2, wt2 = ((None, None, None) if lanemap is False else
+                    _lanemap_pass(widx_flat, slot_dstl, wvals, win, nblocks))
 
     # slice-major block visit order (stream x through VMEM once)
     bdt = _block_dtype(nblocks)
@@ -541,6 +558,7 @@ def build_plan(
         weights=None if wvals is None else wvals.reshape(-1, 128),
         wa=wa, wb=wb, sstart=sstart, wa2=wa2, wb2=wb2,
         sec_mid=sec_mid_arr, perm=perm, n_src=n_src or 0, lm=lm,
+        lm2=lm2, wt2=wt2,
     )
     logger.info(
         "EdgePlan: m=%d slots=%d (%.1f%% pad) mids=%d sections=%d in %.2fs",
@@ -551,16 +569,17 @@ def build_plan(
 
 
 def _lanemap_pass(widx_flat, keys_flat, wvals_flat, win, nblocks):
-    """Run the lanemap repack (graph_tpu.engine.lanemap) in place.
+    """Run the lanemap repacks (graph_tpu.engine.lanemap) in place.
 
-    Returns the per-block uint8 mask, or None when disabled
-    ($GRAPH_TPU_K1_LANEMAP=0), inapplicable (win > 32768: the row table
-    is 8 bits), or no block fits."""
+    Returns (lm, lm2, wt2): the per-block uint8 masks for the 1- and
+    2-table encodings and the table-2 stream, each None when empty.
+    Disabled via $GRAPH_TPU_K1_LANEMAP=0 (both) / =1 (pass 1 only);
+    inapplicable when win > 65536 (the row table is 9 bits)."""
     import os
 
-    if (os.environ.get("GRAPH_TPU_K1_LANEMAP", "1") == "0"
-            or win > 32768 or not nblocks):
-        return None
+    flag = os.environ.get("GRAPH_TPU_K1_LANEMAP", "2")
+    if flag == "0" or win > 65536 or not nblocks:
+        return None, None, None
     from graph_tpu.engine.native_route import lanemap_pack_native
 
     lm_mask = lanemap_pack_native(widx_flat, keys_flat, wvals_flat, win)
@@ -568,7 +587,23 @@ def _lanemap_pass(widx_flat, keys_flat, wvals_flat, win, nblocks):
         from graph_tpu.engine.lanemap import lanemap_pack
 
         lm_mask = lanemap_pack(widx_flat, keys_flat, wvals_flat, win)
-    return lm_mask.astype(np.uint8) if lm_mask.any() else None
+    lm2 = wt2 = None
+    if flag != "1" and win <= 32768 and not lm_mask.all():
+        from graph_tpu.engine.native_route import lanemap2_pack_native
+
+        res = lanemap2_pack_native(widx_flat, keys_flat, wvals_flat, win,
+                                   lm_mask)
+        if res is None:  # no compiler: pure-python fallback
+            from graph_tpu.engine.lanemap import lanemap2_pack
+
+            res = lanemap2_pack(widx_flat, keys_flat, wvals_flat, win,
+                                lm_mask)
+        lm2_mask, wt2_flat = res
+        if wt2_flat is not None and lm2_mask.any():
+            lm2 = lm2_mask.astype(np.uint8)
+            wt2 = wt2_flat.reshape(-1, 128)
+    lm = lm_mask.astype(np.uint8) if lm_mask.any() else None
+    return lm, lm2, wt2
 
 
 def _rowmatch_positions(idxs, k, lead):
@@ -790,9 +825,9 @@ def _build_plan_native(src, dst, n, values, m, nmid, t0, win=0, nslices=0,
         return None
     nslots = lay["nslots"]
     nsec = nslots // SEC
-    lm = (None if lanemap is False else
-          _lanemap_pass(lay["widx"], lay["keys"], lay["wvals"],
-                        lay["win"], nslots // BLK))
+    lm, lm2, wt2 = ((None, None, None) if lanemap is False else
+                    _lanemap_pass(lay["widx"], lay["keys"], lay["wvals"],
+                                  lay["win"], nslots // BLK))
     native = build_sections_native(lay["keys"])
     if native is None:
         return None
@@ -819,6 +854,7 @@ def _build_plan_native(src, dst, n, values, m, nmid, t0, win=0, nslices=0,
         wa2=wa2_f.reshape(nsec * SEC_R, 128),
         wb2=wb2_f.reshape(nsec * SEC_R, 128),
         sec_mid=sec_mid_arr, perm=perm, n_src=n_src, lm=lm,
+        lm2=lm2, wt2=wt2,
     )
     logger.info(
         "EdgePlan (native): m=%d slots=%d (%.1f%% pad) mids=%d sections=%d "

@@ -66,9 +66,18 @@ def test_plan_invariants():
         assert ws + plan.win <= NSLICES * SLICE
         if plan.lm is not None and plan.lm[b]:
             # lanemap encoding: slot window lane (bits 0..6) + per-lane
-            # row table (bits 7..14, < win/128); bit 15 unused
-            assert (w & 0b1000000000000000).max() == 0
-            assert ((w >> 7) < plan.win // 128).all()
+            # row table (bits 7..14 / ..15 for win-65536 plans, < win/128)
+            if plan.win <= 32768:
+                assert (w & 0b1000000000000000).max() == 0
+                assert ((w >> 7) < plan.win // 128).all()
+            else:
+                assert ((w >> 7) & 511 < plan.win // 128).all()
+        elif plan.lm2 is not None and plan.lm2[b]:
+            # two-table encoding: bit 15 = slot table choice; table 1 in
+            # bits 7..14 and table 2 in wt2, both < win/128
+            assert (((w >> 7) & 255) < plan.win // 128).all()
+            wt2 = plan.wt2.reshape(-1)[t * TILE:(t + 1) * TILE]
+            assert (wt2.astype(np.int64) < plan.win // 128).all()
         else:
             # every slot's gather index is tile-window-local
             assert (w >= 0).all() and (w < plan.win).all()
@@ -751,21 +760,21 @@ def test_lanemap_native_matches_python():
 
 
 def test_k1_lanemap_fallback_exact():
-    """A tile with >8 distinct window rows on one lane cannot lanemap;
-    the block must fall back to the position encoding (and stay
-    exact)."""
+    """A tile with >16 distinct window rows on one lane cannot lanemap
+    (even with the round-4 two-table pack: 2 entries x 8 rows); the
+    block must fall back to the position encoding (and stay exact)."""
     import jax.numpy as jnp
 
     from graph_tpu.engine.engine import EdgeEngine
 
     n = 1 << 14
-    # 16 sources at lane 5 of rows 0..15, each with 64 edges: every
-    # tile sees 16 distinct window rows on one lane
-    srcs = 5 + 128 * np.arange(16)
-    src = np.repeat(srcs, 64)
+    # 17 sources at lane 5 of rows 0..16, each with 60 edges: every
+    # tile sees 17 distinct window rows on one lane
+    srcs = 5 + 128 * np.arange(17)
+    src = np.repeat(srcs, 60)
     rng_ = np.random.default_rng(11)
     dst = rng_.integers(0, n, src.size)
-    plan = build_plan(src, dst, n, win=2048, nslices=3)
+    plan = build_plan(src, dst, n, win=4096, nslices=3)
     assert plan.lm is None or not plan.lm.all()
     eng = EdgeEngine(plan, interpret=True)
     assert any(mode in ("rowscan", "rowmatch") for _, mode in eng.k1_cls)
@@ -843,3 +852,144 @@ def test_k1_modular_slice_streams_multislice(win, nslices, n):
     np.add.at(y_exp, dst,
               np.round(x[src].astype(np.float64) * (1 << 30)) / (1 << 30))
     assert np.abs(y_mod - y_exp).max() < 1e-6
+
+
+def test_k1_lanemap2_mode_exact():
+    """Two-table lanemap (round 4): a tile with >8 distinct window rows
+    on one lane fails the 1-table pack but fits with two tables; spmv
+    stays fixed-point exact through the lanemap2 kernel path."""
+    import jax.numpy as jnp
+
+    from graph_tpu.engine.engine import EdgeEngine
+
+    n = 1 << 14
+    # 12 sources all at window lane 0, rows 0..11 (> 8 distinct rows on
+    # one lane), each duplicated twice -> one tile, pass 1 must fail
+    srcs = np.repeat(np.arange(12) * 128, 2)
+    rng_ = np.random.default_rng(7)
+    dst = rng_.integers(0, n, srcs.size)
+    plan = build_plan(srcs, dst, n, win=2048, nslices=3)
+    # block 0 (the real tile) must fail pass 1 and land in lanemap2
+    assert plan.lm is None or not plan.lm[0]
+    assert plan.lm2 is not None and plan.lm2[0]
+    assert plan.wt2 is not None
+    eng = EdgeEngine(plan, interpret=True)
+    assert any(mode == "lanemap2" for _, mode in eng.k1_cls), eng.k1_cls
+    x = (rng_.random(n) * 1e-4).astype(np.float32)
+    y = np.asarray(eng.spmv(jnp.asarray(x)))
+    q = np.round((x[srcs] * np.float32(1 << 30)).astype(np.float32))
+    acc = np.zeros(n, np.int64)
+    np.add.at(acc, dst, q.astype(np.int64))
+    y_exp = acc.astype(np.int32).astype(np.float32) / np.float32(1 << 30)
+    np.testing.assert_array_equal(y, y_exp)
+
+    # weighted relax through the same class (wt2 + weights operands)
+    w = (rng_.random(srcs.size) * 3).astype(np.float32)
+    plan_w = build_plan(srcs, dst, n, values=w, win=2048, nslices=3)
+    assert plan_w.lm2 is not None and plan_w.lm2.any()
+    eng_w = EdgeEngine(plan_w, interpret=True)
+    d0 = (rng_.random(n) * 10).astype(np.float32)
+    yr = np.asarray(eng_w.relax(jnp.asarray(d0)))
+    yr_exp = np.full(n, 3.0e38, np.float32)
+    np.minimum.at(yr_exp, dst, (d0[srcs] + w).astype(np.float32))
+    np.testing.assert_array_equal(yr, yr_exp)
+
+
+def test_k1_lanemap2_random_fuzz():
+    """Random spread graph at a small pinned window: a mix of rowscan /
+    lanemap / lanemap2 classes must still be bit-exact end to end."""
+    import jax.numpy as jnp
+
+    from graph_tpu.engine.engine import EdgeEngine
+
+    n = 1 << 16
+    m = 1 << 14
+    rng_ = np.random.default_rng(91)
+    src = rng_.integers(0, n, m)
+    dst = rng_.integers(0, n, m)
+    plan = build_plan(src, dst, n, win=2048, nslices=3)
+    eng = EdgeEngine(plan, interpret=True)
+    x = (rng_.random(n) * 1e-4).astype(np.float32)
+    y = np.asarray(eng.spmv(jnp.asarray(x)))
+    q = np.round((x[src] * np.float32(1 << 30)).astype(np.float32))
+    acc = np.zeros(n, np.int64)
+    np.add.at(acc, dst, q.astype(np.int64))
+    y_exp = acc.astype(np.int32).astype(np.float32) / np.float32(1 << 30)
+    np.testing.assert_array_equal(y, y_exp)
+
+
+def test_k1_lanemap_9bit_table_win65536():
+    """win-65536 plans use a 9-bit lanemap row table (bits 7..15);
+    spread sources exercise table entries >= 256 and spmv stays exact."""
+    import jax.numpy as jnp
+
+    from graph_tpu.engine.engine import EdgeEngine
+
+    n = 1 << 17
+    rng_ = np.random.default_rng(3)
+    # 16 sources at gap ~4000 (window rows up to ~500), x8 duplicates
+    srcs_d = np.arange(16) * 4001
+    src = np.repeat(srcs_d, 8)
+    dst = rng_.integers(0, n, src.size)
+    plan = build_plan(src, dst, n, win=65536, nslices=32)
+    assert plan.win == 65536
+    assert plan.lm is not None and plan.lm.any()
+    widx = plan.widx.reshape(-1, TPB * TILE)
+    lm = plan.lm.astype(bool)
+    assert ((widx[lm].astype(np.int64) >> 7) & 511).max() >= 256
+    eng = EdgeEngine(plan, interpret=True)
+    assert any(mode == "lanemap" for _, mode in eng.k1_cls), eng.k1_cls
+    x = (rng_.random(n) * 1e-4).astype(np.float32)
+    y = np.asarray(eng.spmv(jnp.asarray(x)))
+    q = np.round((x[src] * np.float32(1 << 30)).astype(np.float32))
+    acc = np.zeros(n, np.int64)
+    np.add.at(acc, dst, q.astype(np.int64))
+    y_exp = acc.astype(np.int32).astype(np.float32) / np.float32(1 << 30)
+    np.testing.assert_array_equal(y, y_exp)
+
+
+def test_lanemap2_native_matches_python():
+    """native gt_lanemap2_pack must reproduce the python two-table
+    repack bit for bit (mask, widx/keys/wvals mutation, wt2 stream)."""
+    from graph_tpu.engine.lanemap import lanemap2_pack, lanemap_pack
+    from graph_tpu.engine.native_route import (
+        lanemap2_pack_native, lanemap_pack_native)
+
+    rng_ = np.random.default_rng(13)
+    BLK_ = TPB * TILE
+    for trial in range(4):
+        nblocks = 6
+        nslots = nblocks * BLK_
+        win = [2048, 4096, 16384, 2048][trial]
+        widx = rng_.integers(0, win, nslots).astype(np.uint16)
+        keys = rng_.integers(0, MID, nslots).astype(np.int32)
+        keys[rng_.random(nslots) < 0.3] = MID
+        for t in range(0, nslots // TILE, 7):
+            keys[t * TILE + rng_.integers(0, TILE)] = -1
+        vals = ((rng_.random(nslots) * 3).astype(np.float32)
+                if trial % 2 else None)
+        w1, k1_ = widx.copy(), keys.copy()
+        v1 = None if vals is None else vals.copy()
+        w2, k2_ = widx.copy(), keys.copy()
+        v2 = None if vals is None else vals.copy()
+        # run pass 1 first on both (lanemap2 takes its skip mask)
+        lm1 = lanemap_pack(w1, k1_, v1, win)
+        lm1n = lanemap_pack_native(w2, k2_, v2, win)
+        if lm1n is None:
+            pytest.skip("no compiler for native lanemap")
+        assert np.array_equal(lm1, lm1n)
+        lm2_py, wt2_py = lanemap2_pack(w1, k1_, v1, win, lm1)
+        res = lanemap2_pack_native(w2, k2_, v2, win, lm1n)
+        if res is None:
+            pytest.skip("no native gt_lanemap2_pack")
+        lm2_cc, wt2_cc = res
+        assert np.array_equal(lm2_py, lm2_cc)
+        assert np.array_equal(w1, w2)
+        assert np.array_equal(k1_, k2_)
+        if wt2_py is None:
+            assert wt2_cc is None or not wt2_cc.any()
+        else:
+            assert wt2_cc is not None
+            assert np.array_equal(wt2_py, wt2_cc)
+        if vals is not None:
+            assert np.array_equal(v1, v2)
