@@ -993,3 +993,57 @@ def test_lanemap2_native_matches_python():
             assert np.array_equal(wt2_py, wt2_cc)
         if vals is not None:
             assert np.array_equal(v1, v2)
+
+
+def test_k1_pair_mode_kernel_exact():
+    """mode="pair" K1 (round 4): a slot gathers TWO sources through
+    independent lanemap streams (widx / widx2) and emits their sum or
+    min.  Synthetic single-block stream with per-(tile,row) consistent
+    tables; checked against the direct two-gather model."""
+    import jax.numpy as jnp
+
+    from graph_tpu.engine.kernels import k1_gather
+
+    win = 2048
+    ntiles, nrows = TPB, TPB * 8
+    rng_ = np.random.default_rng(97)
+    widx = np.zeros((nrows, 128), np.uint16)
+    widx2 = np.zeros((nrows, 128), np.uint16)
+    p1 = np.zeros((nrows, 128), np.int64)  # window position, stream 1
+    p2 = np.zeros((nrows, 128), np.int64)
+    for t in range(ntiles):
+        for r in range(8):
+            h1 = rng_.integers(0, win // 128, 128)
+            h2 = rng_.integers(0, win // 128, 128)
+            l1 = rng_.permutation(128)
+            l2 = rng_.permutation(128)
+            # bits 0..6: the SLOT's window lane; bits 7..15: the table
+            # entry for window lane == this PHYSICAL column (dual use)
+            widx[t * 8 + r] = (l1 | (h1 << 7)).astype(np.uint16)
+            widx2[t * 8 + r] = (l2 | (h2 << 7)).astype(np.uint16)
+            p1[t * 8 + r] = h1[l1] * 128 + l1
+            p2[t * 8 + r] = h2[l2] * 128 + l2
+    x = rng_.random(SLICE).astype(np.float32)
+    border = np.zeros(1, np.uint16)
+    sb = np.zeros(1, np.uint16)
+    ws = np.zeros(ntiles, np.uint8)
+    out = np.asarray(k1_gather(
+        jnp.asarray(x), jnp.asarray(widx), jnp.asarray(border),
+        jnp.asarray(sb), jnp.asarray(ws), win=win, nslices=1,
+        mode="pair", widx2=jnp.asarray(widx2), pair_op="add",
+        interpret=True))
+    np.testing.assert_array_equal(out, x[p1] + x[p2])
+    out_min = np.asarray(k1_gather(
+        jnp.asarray(x), jnp.asarray(widx), jnp.asarray(border),
+        jnp.asarray(sb), jnp.asarray(ws), win=win, nslices=1,
+        mode="pair", widx2=jnp.asarray(widx2), pair_op="min",
+        interpret=True))
+    np.testing.assert_array_equal(out_min, np.minimum(x[p1], x[p2]))
+    # int32 quanta (the engine sum path gathers pre-quantized int32)
+    xi = rng_.integers(-(1 << 20), 1 << 20, SLICE).astype(np.int32)
+    out_i = np.asarray(k1_gather(
+        jnp.asarray(xi), jnp.asarray(widx), jnp.asarray(border),
+        jnp.asarray(sb), jnp.asarray(ws), win=win, nslices=1,
+        mode="pair", widx2=jnp.asarray(widx2), pair_op="add",
+        interpret=True))
+    np.testing.assert_array_equal(out_i, xi[p1] + xi[p2])

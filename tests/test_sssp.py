@@ -98,6 +98,70 @@ def test_sssp_random_vs_dijkstra():
     np.testing.assert_allclose(ours, dist, rtol=1e-5)
 
 
+def test_sssp_frontier_golden():
+    """Compacted-frontier engine is bit-exact on the reference golden
+    (sssp.rs:283-313) for several deltas."""
+    g = golden_graph()
+    expected = np.array([0.0, 4.0, 2.0, 9.0, 5.0, 20.0], dtype=np.float32)
+    for delta in (0.5, 3.0, 100.0):
+        res = delta_stepping(
+            g, DeltaSteppingConfig(start_node=0, delta=delta,
+                                   engine="frontier"))
+        assert np.array_equal(res.distances_np(), expected), delta
+
+
+def test_sssp_frontier_matches_xla_on_grid():
+    """Frontier engine == dense delta-stepping on a weighted 2-D grid
+    (the high-diameter shape the engine exists for)."""
+    side = 24
+    n = side * side
+    rng = np.random.default_rng(5)
+    src, dst = [], []
+    for i in range(side):
+        for j in range(side):
+            u = i * side + j
+            if j + 1 < side:
+                src += [u, u + 1]
+                dst += [u + 1, u]
+            if i + 1 < side:
+                src += [u, u + side]
+                dst += [u + side, u]
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    w = rng.uniform(0.1, 4.0, src.size).astype(np.float32)
+    g = GraphBuilder().coo(src, dst, w).node_count(n).build_directed()
+    r_f = delta_stepping(g, DeltaSteppingConfig(0, 2.0, engine="frontier"))
+    r_x = delta_stepping(g, DeltaSteppingConfig(0, 2.0, engine="xla"))
+    assert np.array_equal(r_f.distances_np(), r_x.distances_np())
+
+
+def test_sssp_auto_picks_frontier_on_low_degree_large_graph():
+    """engine="auto" routes large low-max-degree graphs (grids/roads)
+    to the compacted-frontier engine, and hubby graphs away from it."""
+    from graph_tpu.algos import sssp as sssp_mod
+
+    # path graph: n = 2^16, max degree 1
+    n = 1 << 16
+    src = np.arange(n - 1)
+    dst = np.arange(1, n)
+    w = np.ones(n - 1, np.float32)
+    g = GraphBuilder().coo(src, dst, w).node_count(n).build_directed()
+    assert sssp_mod._max_out_degree(g) == 1
+    res = delta_stepping(g, DeltaSteppingConfig(0, 8.0))
+    assert getattr(g, "_frontier_adj", None) is not None  # frontier ran
+    d = res.distances_np()
+    assert d[0] == 0.0 and d[100] == 100.0 and d[n - 1] == n - 1
+
+    # hub graph: one node of degree 2000 -> never the frontier engine
+    hub_src = np.zeros(2000, np.int64)
+    hub_dst = np.arange(1, 2001)
+    hw = np.ones(2000, np.float32)
+    gh = (GraphBuilder().coo(hub_src, hub_dst, hw)
+          .node_count(1 << 16).build_directed())
+    delta_stepping(gh, DeltaSteppingConfig(0, 8.0))
+    assert getattr(gh, "_frontier_adj", None) is None
+
+
 def test_sssp_plan_matches_xla_interpret():
     """EdgeEngine Bellman-Ford == delta-stepping on a random graph."""
     import numpy as np
