@@ -1,0 +1,212 @@
+"""Hub-pair slot compression (plan v10).
+
+Degree-relabeled power-law graphs concentrate most edges at hub sources
+(scale-22 RMAT: 54.2% of edges originate from internal src < 32768).
+Two same-destination hub edges share one slot: K1 gathers both sources
+through independent lanemap streams (kernels mode="pair") and emits
+their sum/min, so K2 — ~60% of the spmv budget — routes and scans ~27%
+fewer slots.  The combine is associative and commutative in the K2
+accumulator domain (int32 wraparound add / min), so results stay
+bit-exact.
+
+This module pairs the edges and solves the placement problem: per
+(VREG row, window lane, stream) a tile carries ONE row-table entry, so
+two pairs may share a row only if their same-lane sources agree on the
+table row.  A pool of open tiles (the slot order within a mid is free —
+K2's route absorbs it) gives each pair tile_pool*8 candidate rows times
+two stream assignments; measured on scale-22 this packs the dominant
+mid with ~0% pad (scripts/pair_place_proto.py).
+
+The reference has no analog — it visits every edge individually
+(crates/algos/src/page_rank.rs:143-146); pairing is a plan-time
+transform unlocked by resolving all conflicts at build time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from graph_tpu.engine.kernels import BLK, MID, SEC, TILE, TPB
+
+#: Internal source ids below HUB are pairing candidates; 32768 keeps
+#: the pair gather window at 2 x-slices and 8-bit row tables (measured
+#: sweet spot: win-65536 pair gathers cost 0.087 ns/slot vs 0.054,
+#: scripts/perf_k1_pair.py).
+HUB = 32768
+#: Skip pairing for mids with fewer pairs than this (the pair region
+#: pads to whole sections; tiny mids would pad more than they save).
+MIN_PAIRS = 2 * BLK
+#: Open-tile pool size for the greedy placement.
+TILE_POOL = 16
+
+
+def split_pairs(src, dst, n):
+    """Partition edges into hub pairs and rest.
+
+    Returns (s1, s2, d) int64 arrays of paired edges (both sources <
+    HUB, equal destination, mid with >= MIN_PAIRS pairs) and
+    (rest_src, rest_dst) covering every other edge exactly once.
+    """
+    hub = min(HUB, n)
+    hub_mask = src < hub
+    hs, hd = src[hub_mask], dst[hub_mask]
+    o = np.lexsort((hs, hd))
+    hs, hd = hs[o], hd[o]
+    run_start = np.ones(hs.size, bool)
+    if hs.size > 1:
+        run_start[1:] = hd[1:] != hd[:-1]
+    gid = np.cumsum(run_start) - 1
+    cnt = np.bincount(gid) if hs.size else np.zeros(0, np.int64)
+    starts = np.concatenate([[0], np.cumsum(cnt)])
+    pos = np.arange(hs.size, dtype=np.int64) - starts[gid]
+    paired = (pos | 1) < cnt[gid]
+    # drop mids whose pair count is below the section-pad break-even
+    mid = hd // MID
+    pair_mid = mid[paired & (pos % 2 == 0)]
+    per_mid = np.bincount(pair_mid) if pair_mid.size else np.zeros(0)
+    ok_mid = np.zeros(int(mid.max()) + 1 if mid.size else 0, bool)
+    ok_mid[: per_mid.size] = per_mid >= MIN_PAIRS
+    paired &= ok_mid[mid]
+    a = paired & (pos % 2 == 0)
+    b = paired & (pos % 2 == 1)
+    s1, s2, d = hs[a], hs[b], hd[a]
+    rest_src = np.concatenate([src[~hub_mask], hs[~paired]])
+    rest_dst = np.concatenate([dst[~hub_mask], hd[~paired]])
+    return s1, s2, d, rest_src, rest_dst
+
+
+def place_mid_pairs(s1, s2, dstl, tile_pool=TILE_POOL):
+    """Greedy two-stream placement of one mid's pairs into tiles.
+
+    Returns (widx, widx2, keys): widx/widx2 are (ntiles*8, 128) uint16
+    lanemap streams (slot window lane in bits 0..6, per-lane row table
+    in bits 7..14), keys the (ntiles*TILE,) int32 slot destinations
+    (MID marks pads; position (0, 0) of every tile is reserved — the
+    caller re-keys section-boundary leads to -1).
+
+    Pure-python reference implementation; the native C++ port
+    (gt_pair_place) mirrors it bit-for-bit.
+    """
+    npairs = s1.size
+    l1 = (s1 & 127).astype(np.int32)
+    h1 = (s1 >> 7).astype(np.int32)
+    l2 = (s2 & 127).astype(np.int32)
+    h2 = (s2 >> 7).astype(np.int32)
+
+    tiles = []        # closed + open: dicts
+    open_idx = []     # indices into tiles
+
+    def new_tile():
+        t = {
+            "t1": np.full((8, 128), -1, np.int16),
+            "t2": np.full((8, 128), -1, np.int16),
+            "fill": np.zeros(8, np.int32),
+            "lane1": [[] for _ in range(8)],  # per row: slot lane-1 vals
+            "lane2": [[] for _ in range(8)],
+            "key": [[] for _ in range(8)],
+        }
+        t["fill"][0] = 1  # (0, 0) reserved for the section-lead pad
+        tiles.append(t)
+        open_idx.append(len(tiles) - 1)
+        return t
+
+    for i in range(npairs):
+        a1, b1, a2, b2 = l1[i], h1[i], l2[i], h2[i]
+        placed = False
+        for ti in open_idx:
+            t = tiles[ti]
+            t1, t2, fill = t["t1"], t["t2"], t["fill"]
+            for r in range(8):
+                if fill[r] >= 128:
+                    continue
+                e1, e2 = t1[r, a1], t2[r, a2]
+                if (e1 < 0 or e1 == b1) and (e2 < 0 or e2 == b2):
+                    t1[r, a1] = b1
+                    t2[r, a2] = b2
+                    t["lane1"][r].append(a1)
+                    t["lane2"][r].append(a2)
+                    t["key"][r].append(dstl[i])
+                    fill[r] += 1
+                    placed = True
+                    break
+                e1, e2 = t1[r, a2], t2[r, a1]
+                if (e1 < 0 or e1 == b2) and (e2 < 0 or e2 == b1):
+                    t1[r, a2] = b2
+                    t2[r, a1] = b1
+                    t["lane1"][r].append(a2)
+                    t["lane2"][r].append(a1)
+                    t["key"][r].append(dstl[i])
+                    fill[r] += 1
+                    placed = True
+                    break
+            if placed:
+                break
+        if not placed:
+            if len(open_idx) >= tile_pool:
+                k = max(open_idx, key=lambda j: int(tiles[j]["fill"].sum()))
+                open_idx.remove(k)
+            t = new_tile()
+            t["t1"][0, a1] = b1
+            t["t2"][0, a2] = b2
+            t["lane1"][0].append(a1)
+            t["lane2"][0].append(a2)
+            t["key"][0].append(dstl[i])
+            t["fill"][0] += 1
+
+    return encode_tiles(tiles)
+
+
+def encode_tiles(tiles):
+    """Encode placed tiles into (widx, widx2, keys) arrays."""
+    ntiles = len(tiles)
+    widx = np.zeros((ntiles * 8, 128), np.uint16)
+    widx2 = np.zeros((ntiles * 8, 128), np.uint16)
+    keys = np.full(ntiles * TILE, MID, np.int32)
+    for t_i, t in enumerate(tiles):
+        for r in range(8):
+            base = 1 if r == 0 else 0  # (0,0) reserved pad slot
+            lanes1 = t["lane1"][r]
+            k = len(lanes1)
+            tab1 = np.maximum(t["t1"][r], 0).astype(np.uint16)
+            tab2 = np.maximum(t["t2"][r], 0).astype(np.uint16)
+            row1 = (tab1 << 7).copy()
+            row2 = (tab2 << 7).copy()
+            if k:
+                sl = slice(base, base + k)
+                row1[sl] |= np.asarray(lanes1, np.uint16)
+                row2[sl] |= np.asarray(t["lane2"][r], np.uint16)
+                keys[t_i * TILE + r * 128 + base:
+                     t_i * TILE + r * 128 + base + k] = t["key"][r]
+            widx[t_i * 8 + r] = row1
+            widx2[t_i * 8 + r] = row2
+    return widx, widx2, keys
+
+
+def pair_mid_layout(s1, s2, dstl, sec_phase=0):
+    """Place one mid's pairs and pad the region to whole sections.
+
+    ``sec_phase``: tile offset of the region start within its section
+    (the pair region is appended after the mid's regular slots, which
+    are already section-padded, so this is 0).  Returns (widx, widx2,
+    keys, nblocks): the region spans nblocks K1 blocks, a multiple of
+    SEC // BLK.
+    """
+    widx, widx2, keys = (place_mid_pairs(s1, s2, dstl)
+                         if s1.size else
+                         (np.zeros((0, 128), np.uint16),
+                          np.zeros((0, 128), np.uint16),
+                          np.zeros(0, np.int32)))
+    ntiles = widx.shape[0] // 8
+    sec_tiles = SEC // TILE
+    total = -(-max(ntiles, 1) // sec_tiles) * sec_tiles
+    pad_t = total - ntiles
+    if pad_t:
+        pw = np.zeros((pad_t * 8, 128), np.uint16)
+        widx = np.concatenate([widx, pw])
+        widx2 = np.concatenate([widx2, pw])
+        keys = np.concatenate(
+            [keys, np.full(pad_t * TILE, MID, np.int32)])
+    # section-boundary leads: slot 0 of tiles at whole-section offsets
+    for t in range(0, total, sec_tiles):
+        keys[t * TILE] = -1
+    return widx, widx2, keys, total // TPB

@@ -93,12 +93,20 @@ class EdgePlan:
     # wt2 is the full table-2 stream, read only for these blocks.
     lm2: "np.ndarray | None" = None  # (nblocks,) uint8 or None
     wt2: "np.ndarray | None" = None  # (nslots//128, 128) uint8 or None
+    # hub-pair blocks (optional, round 4): one slot carries TWO same-
+    # destination hub edges; K1 gathers both via independent lanemap
+    # streams (widx + widx2) and emits their sum/min (kernels
+    # mode="pair"; layout in graph_tpu.engine.pair).  widx2 is the full
+    # stream-2 array, read only for pair blocks.
+    pm: "np.ndarray | None" = None     # (nblocks,) uint8 or None
+    widx2: "np.ndarray | None" = None  # (nslots//128, 128) uint16 or None
 
     @property
     def nsrc(self) -> int:
         return self.n_src or self.n
 
-    FORMAT_VERSION = 9  # v9: two-table lanemap (lm2/wt2) + 9-bit
+    FORMAT_VERSION = 10  # v10: hub-pair blocks (pm/widx2);
+    # v9: two-table lanemap (lm2/wt2) + 9-bit
     # tables for win-65536 plans;
     # v8: 8-bit lanemap row table at bits 7..14
     # (windows up to 32768);
@@ -133,6 +141,10 @@ class EdgePlan:
                  else self.lm2.astype(np.uint8)),
             wt2=(np.zeros(0, np.uint8) if self.wt2 is None
                  else self.wt2),
+            pm=(np.zeros(0, np.uint8) if self.pm is None
+                else self.pm.astype(np.uint8)),
+            widx2=(np.zeros(0, np.uint16) if self.widx2 is None
+                   else self.widx2),
         )
 
     @staticmethod
@@ -149,6 +161,8 @@ class EdgePlan:
         lm = z["lm"] if "lm" in z.files else np.zeros(0, np.uint8)
         lm2 = z["lm2"] if "lm2" in z.files else np.zeros(0, np.uint8)
         wt2 = z["wt2"] if "wt2" in z.files else np.zeros(0, np.uint8)
+        pm = z["pm"] if "pm" in z.files else np.zeros(0, np.uint8)
+        widx2 = z["widx2"] if "widx2" in z.files else np.zeros(0, np.uint16)
         return EdgePlan(
             n=int(h[0]), m=int(h[1]), nslots=int(h[2]), nmid=int(h[3]),
             nsec=int(h[4]), nx=int(h[5]), win=int(h[7]),
@@ -163,6 +177,8 @@ class EdgePlan:
             lm=None if lm.size == 0 else lm,
             lm2=None if lm2.size == 0 else lm2,
             wt2=None if wt2.size == 0 else wt2,
+            pm=None if pm.size == 0 else pm,
+            widx2=None if widx2.size == 0 else widx2,
         )
 
     def device_arrays(self):
@@ -189,6 +205,8 @@ class EdgePlan:
             out["iperm"] = jnp.asarray(iperm)
         if self.wt2 is not None:
             out["wt2"] = jnp.asarray(self.wt2)
+        if self.widx2 is not None:
+            out["widx2"] = jnp.asarray(self.widx2)
         return out
 
 
@@ -351,6 +369,7 @@ def build_plan(
     relabel: Optional[str] = None,
     n_src: Optional[int] = None,
     lanemap: Optional[bool] = None,
+    pair: Optional[bool] = None,
 ) -> EdgePlan:
     """Compile an edge list into an EdgePlan.
 
@@ -371,6 +390,11 @@ def build_plan(
     False skips the lanemap tile repack — required by the sharded
     engines, whose stacked single-class kernels assume the positional
     widx encoding on every device.
+
+    ``pair``: None follows $GRAPH_TPU_PAIR (default on).  Hub-pair slot
+    compression (graph_tpu.engine.pair) applies only to unweighted
+    square degree-relabeled plans with the native toolchain available;
+    it is a no-op otherwise.
     """
     t0 = time.perf_counter()
     src = np.asarray(src, dtype=np.int64)
@@ -391,6 +415,18 @@ def build_plan(
         nmid = max(1, -(-n // MID))
     elif relabel is not None:
         raise ValueError(f"relabel must be None or 'degree', got {relabel!r}")
+
+    if pair is None:
+        import os as _os
+
+        pair = _os.environ.get("GRAPH_TPU_PAIR", "1") != "0"
+    if (pair and values is None and not n_src and perm is not None
+            and lanemap is not False and colorer is None):
+        plan = _build_plan_paired(src, dst, n, m, nmid, perm, t0,
+                                  win=win, nslices=nslices,
+                                  lanemap=lanemap)
+        if plan is not None:
+            return plan
 
     if colorer is None:
         plan = _build_plan_native(src, dst, n, values, m, nmid, t0,
