@@ -46,6 +46,10 @@ def _k1_classes(plan: EdgePlan):
           else np.zeros(nblocks, bool))
     lm2 = (plan.lm2.astype(bool) if getattr(plan, "lm2", None) is not None
            else np.zeros(nblocks, bool))
+    pm = (plan.pm.astype(bool) if getattr(plan, "pm", None) is not None
+          else np.zeros(nblocks, bool))
+    lm &= ~pm
+    lm2 &= ~pm
     tile_max = widx.reshape(-1, TILE).max(axis=1).astype(np.int64)
     blk_rows = tile_max.reshape(-1, TPB).max(axis=1) // 128 + 1
     # lanemap blocks (plan lanemap_pack): widx carries the row TABLE in
@@ -64,19 +68,30 @@ def _k1_classes(plan: EdgePlan):
         lm2_rows = np.maximum(a1max.reshape(-1, TPB).max(axis=1),
                               t2max.reshape(-1, TPB).max(axis=1)) + 1
         blk_rows = np.where(lm2, lm2_rows, blk_rows)
+    if pm.any():
+        # pair blocks (plan v10): two 8-bit row tables (widx bits 7..14
+        # each stream, bit 15 reserved zero); window need covers both
+        pamax = np.maximum(
+            ((widx >> 7) & 255).reshape(-1, TILE).max(axis=1),
+            ((plan.widx2.astype(np.int32) >> 7) & 255)
+            .reshape(-1, TILE).max(axis=1))
+        pm_rows = pamax.reshape(-1, TPB).max(axis=1).astype(np.int64) + 1
+        blk_rows = np.where(pm, pm_rows, blk_rows)
     # 1024-granularity classes (ws starts are 1024-aligned): power-of-two
     # rounding cost up to 2x scan rows (e.g. 37 actual rows paid 64)
+    # (pair blocks cap at their own 32768 hub window, not plan.win)
+    cap = np.where(pm, 32768, plan.win)
     need = np.maximum(1024, np.minimum(
-        plan.win, ((blk_rows * 128 + 1023) // 1024) * 1024))
+        cap, ((blk_rows * 128 + 1023) // 1024) * 1024))
     # row-matched blocks: every slot's window row == 8*(widx>>10) + row
     r3 = (widx >> 7) & 7
     rowpat = (np.arange(widx.shape[0], dtype=np.int32) % 8)[:, None]
     conform = ((r3 == rowpat).all(axis=1)
-               .reshape(-1, BLK // 128).all(axis=1)) & ~lm & ~lm2
+               .reshape(-1, BLK // 128).all(axis=1)) & ~lm & ~lm2 & ~pm
     out = []
-    for mode, sel in (("rowscan", ~conform & ~lm & ~lm2),
+    for mode, sel in (("rowscan", ~conform & ~lm & ~lm2 & ~pm),
                       ("rowmatch", conform),
-                      ("lanemap", lm), ("lanemap2", lm2)):
+                      ("lanemap", lm), ("lanemap2", lm2), ("pair", pm)):
         if not sel.any():
             continue
         need_m = np.where(sel, need, -1)
@@ -209,16 +224,25 @@ class EdgeEngine:
             self.k2_levels = tuple(
                 (ls, rs) for ls, rs, _ in self.k2_classes)
 
-    def _k1(self, dev, xp, weights=None, combine="none"):
-        """Chained per-window-class K1 calls (see :func:`_k1_classes`)."""
+    def _k1(self, dev, xp, weights=None, combine="none", pair_op="add"):
+        """Chained per-window-class K1 calls (see :func:`_k1_classes`).
+
+        ``pair_op`` is the in-slot combine for hub-pair blocks (plan
+        v10): "add" when the gather feeds a sum reduce, "min" for min
+        reduces — both associative and commutative in the K2
+        accumulator domain, so paired results stay bit-exact."""
         contrib = None
         for win_c, mode_c in self.k1_cls:
             contrib = k1_gather(
                 xp, dev["widx"], dev[f"border{win_c}_{mode_c}"], dev["sb"],
                 dev["ws"], win=win_c, nslices=self.plan.nslices,
-                weights=weights, combine=combine, mode=mode_c,
+                weights=weights if mode_c != "pair" else None,
+                combine=combine if mode_c != "pair" else "none",
+                mode=mode_c,
                 out_init=contrib, interpret=self.interpret,
-                wt2=dev.get("wt2") if mode_c == "lanemap2" else None)
+                wt2=dev.get("wt2") if mode_c == "lanemap2" else None,
+                widx2=dev.get("widx2") if mode_c == "pair" else None,
+                pair_op=pair_op)
         return contrib
 
     def _k2(self, dev, contrib, op):
@@ -340,7 +364,8 @@ class EdgeEngine:
         fill = 0.0 if reduce == "sum" else INF
         xp = jnp.full(p.nx, fill, jnp.float32).at[: p.nsrc].set(x)
         weights = dev.get("weights") if combine != "none" else None
-        contrib = self._k1(dev, xp, weights=weights, combine=combine)
+        contrib = self._k1(dev, xp, weights=weights, combine=combine,
+                           pair_op="min" if reduce == "min" else "add")
         y_mids = self._k2(dev, contrib, reduce)
         y = y_mids.reshape(-1)[: p.n]
         if reduce == "sum":
@@ -390,7 +415,7 @@ class EdgeEngine:
         if not internal and "perm" in dev:
             x = permute(dev["perm"], x)
         xp = jnp.full(p.nx, IMAX, jnp.int32).at[: p.nsrc].set(x)
-        contrib = self._k1(dev, xp)
+        contrib = self._k1(dev, xp, pair_op="min")
         y_mids = self._k2(dev, contrib, "imin")
         y = y_mids.reshape(-1)[: p.n]
         if not internal and "perm" in dev:

@@ -200,17 +200,19 @@ def _k1_kernel(border_ref, sb_ref, ws_ref, x_refs, widx_ref, out_ref,
             # destination hub edges; K1 gathers both sources through
             # two independent lanemap streams (widx = stream 1, widx2 =
             # stream 2, each: slot window lane in bits 0..6, per-lane
-            # 9-bit row table in bits 7..15) and emits their combine
+            # 8-bit row table in bits 7..14 — the HUB=32768 cutoff
+            # keeps table entries <= 255; bit 15 is reserved zero in
+            # pair streams) and emits their combine
             # (+ for sum plans, min for min plans — both associative
             # and commutative in the K2 accumulator domain, so results
             # stay bit-exact).  Halves the slot count K2 routes/scans
             # for the ~2/3 of power-law edges that originate at hub
             # sources (PERF_NOTES round-4: 97.4% of scale-22 hub edges
             # pair up; slot ratio 0.689).
-            A1 = (idx >> 7) & 511
+            A1 = (idx >> 7) & 255
             idx2 = widx2_ref[pl.ds(t * 8, 8), :].astype(jnp.int32)
             lo2 = idx2 & 127
-            A2 = (idx2 >> 7) & 511
+            A2 = (idx2 >> 7) & 255
             g1 = A1 >> 3
             g2 = A2 >> 3
             u1 = jnp.zeros((8, 128), xs_ref.dtype)

@@ -219,6 +219,71 @@ def lanemap2_pack_native(widx: np.ndarray, keys: np.ndarray,
     return lm2.astype(bool), (wt2 if lm2.any() else None)
 
 
+_pair_lib = None
+_pair_failed = False
+
+
+def _load_pair():
+    global _pair_lib, _pair_failed
+    if _pair_lib is not None or _pair_failed:
+        return _pair_lib
+    try:
+        from graph_tpu.native.build import build_library
+
+        lib = ctypes.CDLL(build_library("pair_place.cpp"))
+        u16pp = ctypes.POINTER(ctypes.POINTER(ctypes.c_uint16))
+        i32pp = ctypes.POINTER(ctypes.POINTER(ctypes.c_int32))
+        lib.gt_pair_place.restype = ctypes.c_int64
+        lib.gt_pair_place.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int32,
+            u16pp, u16pp, i32pp,
+        ]
+        lib.gt_pair_free.argtypes = [
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        _pair_lib = lib
+    except Exception as exc:  # pragma: no cover - env without g++
+        log.warning("native pair_place unavailable (%s); python placement",
+                    exc)
+        _pair_failed = True
+    return _pair_lib
+
+
+def pair_place_native(s1, s2, dstl, tile_pool: int = 16):
+    """Greedy hub-pair placement for one mid (native/pair_place.cpp).
+
+    Mirrors graph_tpu.engine.pair.place_mid_pairs bit for bit.  Returns
+    (widx (ntiles*8, 128) uint16, widx2, keys (ntiles*1024,) int32) or
+    None when the native library is unavailable.
+    """
+    lib = _load_pair()
+    if lib is None:
+        return None
+    s1 = np.ascontiguousarray(s1, np.int32)
+    s2 = np.ascontiguousarray(s2, np.int32)
+    dstl = np.ascontiguousarray(dstl, np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    w1 = ctypes.POINTER(ctypes.c_uint16)()
+    w2 = ctypes.POINTER(ctypes.c_uint16)()
+    kp = ctypes.POINTER(ctypes.c_int32)()
+    ntiles = lib.gt_pair_place(
+        s1.ctypes.data_as(i32p), s2.ctypes.data_as(i32p),
+        dstl.ctypes.data_as(i32p), ctypes.c_int64(s1.size),
+        ctypes.c_int32(tile_pool),
+        ctypes.byref(w1), ctypes.byref(w2), ctypes.byref(kp))
+    if ntiles < 0:  # pragma: no cover
+        return None
+    n = int(ntiles)
+    widx = np.ctypeslib.as_array(w1, (n * 8, 128)).copy()
+    widx2 = np.ctypeslib.as_array(w2, (n * 8, 128)).copy()
+    keys = np.ctypeslib.as_array(kp, (n * 1024,)).copy()
+    lib.gt_pair_free(w1, w2, kp)
+    return widx, widx2, keys
+
+
 def build_layout_native(src, dst, values=None, n=0, win: int = 0,
                         nslices: int = 0, n_src: int = 0, nthreads: int = 0):
     """Sort + slot-stream layout in C++ (win=0 auto-selects the K1

@@ -182,20 +182,29 @@ def encode_tiles(tiles):
     return widx, widx2, keys
 
 
-def pair_mid_layout(s1, s2, dstl, sec_phase=0):
+def pair_mid_layout(s1, s2, dstl, sec_phase=0, native=True):
     """Place one mid's pairs and pad the region to whole sections.
 
     ``sec_phase``: tile offset of the region start within its section
     (the pair region is appended after the mid's regular slots, which
     are already section-padded, so this is 0).  Returns (widx, widx2,
     keys, nblocks): the region spans nblocks K1 blocks, a multiple of
-    SEC // BLK.
+    SEC // BLK.  ``native=False`` forces the pure-python placement
+    (tests compare the two bit-for-bit).
     """
-    widx, widx2, keys = (place_mid_pairs(s1, s2, dstl)
-                         if s1.size else
-                         (np.zeros((0, 128), np.uint16),
-                          np.zeros((0, 128), np.uint16),
-                          np.zeros(0, np.int32)))
+    res = None
+    if s1.size and native:
+        from graph_tpu.engine.native_route import pair_place_native
+
+        res = pair_place_native(s1, s2, dstl, tile_pool=TILE_POOL)
+    if res is not None:
+        widx, widx2, keys = res
+    else:
+        widx, widx2, keys = (place_mid_pairs(s1, s2, dstl)
+                             if s1.size else
+                             (np.zeros((0, 128), np.uint16),
+                              np.zeros((0, 128), np.uint16),
+                              np.zeros(0, np.int32)))
     ntiles = widx.shape[0] // 8
     sec_tiles = SEC // TILE
     total = -(-max(ntiles, 1) // sec_tiles) * sec_tiles

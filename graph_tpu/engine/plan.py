@@ -391,10 +391,11 @@ def build_plan(
     engines, whose stacked single-class kernels assume the positional
     widx encoding on every device.
 
-    ``pair``: None follows $GRAPH_TPU_PAIR (default on).  Hub-pair slot
-    compression (graph_tpu.engine.pair) applies only to unweighted
-    square degree-relabeled plans with the native toolchain available;
-    it is a no-op otherwise.
+    ``pair``: None follows $GRAPH_TPU_PAIR (default off).  Hub-pair
+    slot compression (graph_tpu.engine.pair): two same-destination hub
+    edges share one slot, gathered through two lanemap streams and
+    combined in K1 (kernels mode="pair").  Applies only to unweighted
+    square degree-relabeled plans; it is a no-op otherwise.
     """
     t0 = time.perf_counter()
     src = np.asarray(src, dtype=np.int64)
@@ -419,7 +420,7 @@ def build_plan(
     if pair is None:
         import os as _os
 
-        pair = _os.environ.get("GRAPH_TPU_PAIR", "1") != "0"
+        pair = _os.environ.get("GRAPH_TPU_PAIR", "0") == "1"
     if (pair and values is None and not n_src and perm is not None
             and lanemap is not False and colorer is None):
         plan = _build_plan_paired(src, dst, n, m, nmid, perm, t0,
@@ -896,6 +897,152 @@ def _build_plan_native(src, dst, n, values, m, nmid, t0, win=0, nslices=0,
         "EdgePlan (native): m=%d slots=%d (%.1f%% pad) mids=%d sections=%d "
         "in %.2fs", m, nslots, 100.0 * (nslots - m) / max(1, nslots),
         lay["nmid"], nsec, time.perf_counter() - t0)
+    return plan
+
+
+def _build_plan_paired(src, dst, n, m, nmid, perm, t0, win=None,
+                       nslices=None, lanemap=None):
+    """Hub-pair plan (v10): rest edges via the native layout, per-mid
+    pair regions spliced in at section granularity.
+
+    Two same-destination hub edges share one slot (graph_tpu.engine
+    .pair); K1 gathers both sources through two lanemap streams
+    (kernels mode="pair") and emits their combine, so K2 routes and
+    scans fewer slots.  The reference has no analog — it visits every
+    edge individually (crates/algos/src/page_rank.rs:143-146).
+
+    Returns None (caller falls back to the unpaired path) when nothing
+    pairs, the native toolchain is missing, or the base layout is not
+    per-mid monotone.
+    """
+    from graph_tpu.engine import pair as _pair
+    from graph_tpu.engine.native_route import build_sections_native
+
+    s1, s2, d, rest_src, rest_dst = _pair.split_pairs(src, dst, n)
+    if s1.size == 0:
+        return None
+    base = _build_plan_native(rest_src, rest_dst, n, None,
+                              int(rest_src.size), nmid, t0,
+                              win=win or 0, nslices=nslices or 0,
+                              perm=perm, n_src=0, lanemap=lanemap)
+    if base is None:
+        return None
+    smid = base.sec_mid.astype(np.int64)
+    if smid.size and not (np.diff(smid) >= 0).all():
+        logger.warning("pair plan: base sections not mid-monotone; "
+                       "falling back to the unpaired plan")
+        return None
+    sec_lo = np.searchsorted(smid, np.arange(nmid))
+    sec_hi = np.searchsorted(smid, np.arange(nmid), side="right")
+    pmid = (d // MID).astype(np.int64)
+    dstl_p = (d - pmid * MID).astype(np.int32)
+    p_starts = np.searchsorted(pmid, np.arange(nmid + 1))
+
+    ROWS = SEC // 128   # widx/routing rows per section
+    TPS = SEC // TILE   # tiles per section
+    BPS = SEC // BLK    # blocks per section
+    base_lm = (base.lm if base.lm is not None
+               else np.zeros(base.sb.size, np.uint8))
+    base_lm2 = (base.lm2 if base.lm2 is not None
+                else np.zeros(base.sb.size, np.uint8))
+
+    widx_l, widx2_l, wt2_l, ws_l, sb_l = [], [], [], [], []
+    lm_l, lm2_l, pm_l, secmid_l = [], [], [], []
+    pair_keys, pair_nsec = [], []   # per-mid pair routing inputs
+    chunk_is_pair = []              # interleave order for routing rows
+    for mi in range(nmid):
+        lo, hi = int(sec_lo[mi]), int(sec_hi[mi])
+        nb = (hi - lo) * BPS
+        widx_l.append(base.widx[lo * ROWS:hi * ROWS])
+        widx2_l.append(np.zeros(((hi - lo) * ROWS, 128), np.uint16))
+        if base.wt2 is not None:
+            wt2_l.append(base.wt2[lo * ROWS:hi * ROWS])
+        ws_l.append(base.ws[lo * TPS:hi * TPS])
+        sb_l.append(base.sb[lo * BPS:hi * BPS])
+        lm_l.append(base_lm[lo * BPS:hi * BPS])
+        lm2_l.append(base_lm2[lo * BPS:hi * BPS])
+        pm_l.append(np.zeros(nb, np.uint8))
+        secmid_l.append(np.full(hi - lo, mi, np.int32))
+        chunk_is_pair.append((False, hi - lo))
+        plo, phi = int(p_starts[mi]), int(p_starts[mi + 1])
+        if phi == plo:
+            continue
+        pw, pw2, pkeys, nbp = _pair.pair_mid_layout(
+            s1[plo:phi].astype(np.int64), s2[plo:phi].astype(np.int64),
+            dstl_p[plo:phi])
+        nsec_p = nbp // BPS
+        widx_l.append(pw.astype(np.uint16))
+        widx2_l.append(pw2.astype(np.uint16))
+        if base.wt2 is not None:
+            wt2_l.append(np.zeros((nsec_p * ROWS, 128), np.uint8))
+        ws_l.append(np.zeros(nsec_p * TPS, base.ws.dtype))
+        sb_l.append(np.zeros(nbp, base.sb.dtype))
+        lm_l.append(np.zeros(nbp, np.uint8))
+        lm2_l.append(np.zeros(nbp, np.uint8))
+        pm_l.append(np.ones(nbp, np.uint8))
+        secmid_l.append(np.full(nsec_p, mi, np.int32))
+        chunk_is_pair.append((True, nsec_p))
+        pair_keys.append(pkeys)
+        pair_nsec.append(nsec_p)
+
+    # route all pair sections in one pass, then interleave with the
+    # base plan's already-routed rows in stream order
+    pk = np.concatenate(pair_keys)
+    routed = build_sections_native(pk.astype(np.int32))
+    if routed is not None:
+        pr = [a.reshape(-1, 128) for a in routed]
+    else:  # no native toolchain for routing: python per-section
+        nsp = pk.size // SEC
+        pr = [np.zeros((nsp * SEC_R, 128), np.uint16) for _ in range(5)]
+        for s in range(nsp):
+            rs = _section_python(pk[s * SEC:(s + 1) * SEC].astype(np.int64))
+            for a, r in zip(pr, rs):
+                a[s * SEC_R:(s + 1) * SEC_R] = r
+    route_l = [[] for _ in range(5)]
+    bpos = ppos = 0
+    for is_pair, nsec_c in chunk_is_pair:
+        if is_pair:
+            for i in range(5):
+                route_l[i].append(pr[i][ppos * ROWS:(ppos + nsec_c) * ROWS])
+            ppos += nsec_c
+        else:
+            src_rows = (base.wa, base.wb, base.sstart, base.wa2, base.wb2)
+            for i in range(5):
+                route_l[i].append(
+                    src_rows[i][bpos * ROWS:(bpos + nsec_c) * ROWS])
+            bpos += nsec_c
+
+    sb = np.concatenate(sb_l)
+    nblocks = sb.size
+    bdt = _block_dtype(nblocks)
+    sb = sb.astype(bdt)
+    border = np.argsort(sb, kind="stable").astype(bdt)
+    lm = np.concatenate(lm_l)
+    lm2 = np.concatenate(lm2_l)
+    pm = np.concatenate(pm_l)
+    nslots = nblocks * BLK
+    nsec = nslots // SEC
+    nx = (max(int(sb.max()) + base.nslices, -(-n // SLICE) + 1)) * SLICE
+    plan = EdgePlan(
+        n=n, m=m, nslots=nslots, nmid=nmid, nsec=nsec, nx=nx,
+        win=base.win, nslices=base.nslices,
+        widx=np.concatenate(widx_l), sb=sb,
+        ws=np.concatenate(ws_l), border=border,
+        weights=None,
+        wa=np.concatenate(route_l[0]), wb=np.concatenate(route_l[1]),
+        sstart=np.concatenate(route_l[2]), wa2=np.concatenate(route_l[3]),
+        wb2=np.concatenate(route_l[4]),
+        sec_mid=np.concatenate(secmid_l), perm=perm, n_src=0,
+        lm=lm if lm.any() else None,
+        lm2=lm2 if lm2.any() else None,
+        wt2=np.concatenate(wt2_l) if base.wt2 is not None else None,
+        pm=pm, widx2=np.concatenate(widx2_l),
+    )
+    logger.info(
+        "EdgePlan (paired): m=%d pairs=%d slots=%d (%.1f%% vs unpaired "
+        "est) mids=%d sections=%d in %.2fs", m, s1.size, nslots,
+        100.0 * nslots / max(1, nslots + s1.size), nmid, nsec,
+        time.perf_counter() - t0)
     return plan
 
 

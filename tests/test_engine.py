@@ -1047,3 +1047,159 @@ def test_k1_pair_mode_kernel_exact():
         mode="pair", widx2=jnp.asarray(widx2), pair_op="add",
         interpret=True))
     np.testing.assert_array_equal(out_i, xi[p1] + xi[p2])
+
+
+# ---------------------------------------------------------------------------
+# Hub-pair plans (plan v10)
+
+
+def _pair_graph(n=3000, m=20000, seed=7):
+    r = np.random.default_rng(seed)
+    src = (r.zipf(1.3, m) % n).astype(np.int64)
+    dst = r.integers(0, n, m).astype(np.int64)
+    return src, dst
+
+
+def test_split_pairs_model(monkeypatch):
+    """split_pairs partitions every edge exactly once: pairs have both
+    sources below HUB and equal destinations; pairs + rest reassemble
+    the input multiset.  Odd groups leave one edge in rest; mids below
+    MIN_PAIRS don't pair."""
+    import graph_tpu.engine.pair as pairmod
+
+    monkeypatch.setattr(pairmod, "MIN_PAIRS", 4)
+    monkeypatch.setattr(pairmod, "HUB", 64)
+    r = np.random.default_rng(11)
+    src = r.integers(0, 200, 5000).astype(np.int64)
+    dst = r.integers(0, 200, 5000).astype(np.int64)
+    s1, s2, d, rs, rd = pairmod.split_pairs(src, dst, 200)
+    assert s1.size == s2.size == d.size
+    assert (s1 < 64).all() and (s2 < 64).all()
+    # reassembled multiset == input multiset
+    all_src = np.concatenate([s1, s2, rs])
+    all_dst = np.concatenate([d, d, rd])
+    key = lambda a, b: np.sort(a * 1000 + b)
+    np.testing.assert_array_equal(key(all_src, all_dst), key(src, dst))
+    # odd-run edges stay unpaired: per (dst) hub-edge count parity
+    hub_cnt = np.bincount(dst[src < 64], minlength=200)
+    rest_hub_cnt = np.bincount(rd[rs < 64], minlength=200)
+    assert ((hub_cnt % 2) <= rest_hub_cnt).all()
+
+
+def test_split_pairs_min_pairs_filter(monkeypatch):
+    """A mid whose pair count is below MIN_PAIRS contributes nothing."""
+    import graph_tpu.engine.pair as pairmod
+
+    monkeypatch.setattr(pairmod, "MIN_PAIRS", 1000)
+    src = np.arange(10, dtype=np.int64) % 3
+    dst = np.zeros(10, np.int64)
+    s1, s2, d, rs, rd = pairmod.split_pairs(src, dst, 100)
+    assert s1.size == 0 and rs.size == 10
+
+
+def test_pair_mid_layout_decodes_to_input():
+    """Decode the placed tiles back to (s1, s2, dstl) multisets; the
+    region pads to whole sections with -1 section leads."""
+    from graph_tpu.engine.pair import pair_mid_layout
+
+    r = np.random.default_rng(13)
+    npairs = 3000
+    s1 = r.integers(0, 2000, npairs).astype(np.int64)
+    s2 = r.integers(0, 2000, npairs).astype(np.int64)
+    dstl = r.integers(0, MID, npairs).astype(np.int64)
+    widx, widx2, keys, nblocks = pair_mid_layout(s1, s2, dstl)
+    assert keys.size % SEC == 0 and nblocks * 16 * TILE == keys.size
+    for t in range(0, keys.size // TILE, SEC // TILE):
+        assert keys[t * TILE] == -1
+    real = keys.reshape(-1) != MID
+    real[np.arange(0, keys.size, SEC)] = False  # leads
+    assert real.sum() == npairs
+    # decode: slot lane bits 0..6, table at that lane bits 7..14
+    w1 = widx.astype(np.int64).reshape(-1, TILE)
+    w2 = widx2.astype(np.int64).reshape(-1, TILE)
+    got = []
+    for t in range(w1.shape[0]):
+        for p in np.nonzero(real[t * TILE:(t + 1) * TILE])[0]:
+            row = p // 128
+            l1 = w1[t, p] & 127
+            l2 = w2[t, p] & 127
+            b1 = (w1[t, row * 128 + l1] >> 7) & 255
+            b2 = (w2[t, row * 128 + l2] >> 7) & 255
+            got.append((b1 * 128 + l1, b2 * 128 + l2,
+                        keys[t * TILE + p]))
+    got = np.asarray(sorted(got))
+    exp = np.asarray(sorted(
+        (min(a, b), max(a, b), k) for a, b, k in zip(s1, s2, dstl)))
+    lo = np.minimum(got[:, 0], got[:, 1])
+    hi = np.maximum(got[:, 0], got[:, 1])
+    np.testing.assert_array_equal(
+        np.asarray(sorted(zip(lo, hi, got[:, 2]))), exp)
+
+
+def test_pair_place_native_matches_python():
+    """The C++ placement (native/pair_place.cpp) mirrors the python
+    reference bit for bit."""
+    from graph_tpu.engine.native_route import pair_place_native
+    from graph_tpu.engine.pair import place_mid_pairs
+
+    r = np.random.default_rng(17)
+    npairs = 4000
+    s1 = r.integers(0, 32768, npairs).astype(np.int64)
+    s2 = r.integers(0, 32768, npairs).astype(np.int64)
+    dstl = r.integers(0, MID, npairs).astype(np.int64)
+    res = pair_place_native(s1, s2, dstl)
+    if res is None:
+        pytest.skip("no native toolchain")
+    w1c, w2c, kc = res
+    w1p, w2p, kp = place_mid_pairs(s1, s2, dstl)
+    np.testing.assert_array_equal(w1c, w1p)
+    np.testing.assert_array_equal(w2c, w2p)
+    np.testing.assert_array_equal(kc, kp)
+
+
+def test_plan_paired_engine_exact(monkeypatch):
+    """A paired plan (pm/widx2) must match the unpaired plan bit for
+    bit on spmv, smin and smin_int, and roundtrip through save/load."""
+    import jax.numpy as jnp
+
+    import graph_tpu.engine.pair as pairmod
+    from graph_tpu.engine.engine import EdgeEngine
+    from graph_tpu.engine.plan import EdgePlan
+
+    monkeypatch.setattr(pairmod, "MIN_PAIRS", 4)
+    src, dst = _pair_graph()
+    n = 3000
+    p0 = build_plan(src, dst, n, relabel="degree", pair=False)
+    p1 = build_plan(src, dst, n, relabel="degree", pair=True)
+    assert p1.pm is not None and p1.pm.any() and p1.widx2 is not None
+    r = np.random.default_rng(19)
+    e0 = EdgeEngine(p0, interpret=True)
+    e1 = EdgeEngine(p1, interpret=True)
+    assert any(mode == "pair" for _, mode in e1.k1_cls)
+    x = (r.random(n) * 1e-3).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(e0.spmv(jnp.asarray(x))),
+                                  np.asarray(e1.spmv(jnp.asarray(x))))
+    xm = r.random(n).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(e0.smin(jnp.asarray(xm))),
+                                  np.asarray(e1.smin(jnp.asarray(xm))))
+    xi = r.integers(0, 1 << 30, n).astype(np.int32)
+    np.testing.assert_array_equal(
+        np.asarray(e0.smin_int(jnp.asarray(xi))),
+        np.asarray(e1.smin_int(jnp.asarray(xi))))
+
+
+def test_plan_paired_roundtrip(monkeypatch, tmp_path):
+    import graph_tpu.engine.pair as pairmod
+    from graph_tpu.engine.plan import EdgePlan
+
+    monkeypatch.setattr(pairmod, "MIN_PAIRS", 4)
+    src, dst = _pair_graph(seed=23)
+    p = build_plan(src, dst, 3000, relabel="degree", pair=True)
+    assert p.pm is not None
+    path = str(tmp_path / "p.npz")
+    p.save(path)
+    p2 = EdgePlan.load(path)
+    np.testing.assert_array_equal(p2.pm, p.pm)
+    np.testing.assert_array_equal(p2.widx2, p.widx2)
+    np.testing.assert_array_equal(p2.widx, p.widx)
+    assert p2.nslots == p.nslots and p2.win == p.win
