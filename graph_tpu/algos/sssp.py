@@ -219,12 +219,15 @@ def _sssp_frontier(graph: DirectedCsrGraph, config) -> SsspResult:
             raise ValueError(
                 f"frontier engine needs (n+1)*max_degree < 2^31, got "
                 f"{n + 1} * {d_max}; use engine='plan' or 'xla'")
-        srcs = graph.csr_out.sources.astype(jnp.int64)
+        # int32 flat index throughout: the (n+1)*d_max < 2^31 guard
+        # above makes every value fit, and int64 here would silently
+        # truncate anyway without jax_enable_x64 (ADVICE round-4)
+        srcs = graph.csr_out.sources.astype(jnp.int32)
         tgts = graph.csr_out.targets.astype(jnp.int32)
         wts = graph.csr_out.values.astype(jnp.float32)
-        pos = (jnp.arange(srcs.shape[0], dtype=jnp.int64)
-               - graph.csr_out.offsets[srcs].astype(jnp.int64))
-        flat = srcs * d_max + pos
+        pos = (jnp.arange(srcs.shape[0], dtype=jnp.int32)
+               - graph.csr_out.offsets[srcs].astype(jnp.int32))
+        flat = srcs * jnp.int32(d_max) + pos
         adj_t = (jnp.full((n + 1) * d_max, n, jnp.int32)
                  .at[flat].set(tgts).reshape(n + 1, d_max))
         adj_w = (jnp.full((n + 1) * d_max, INF, jnp.float32)

@@ -273,9 +273,17 @@ def pick_win(counts_by_cfg) -> tuple:
     return base
 
 
+def _pair_default() -> bool:
+    """Effective hub-pair default: $GRAPH_TPU_PAIR (off unless =1)."""
+    import os
+
+    return os.environ.get("GRAPH_TPU_PAIR", "0") == "1"
+
+
 def plan_cache_path(cache_dir: str, src, dst, n: int, values=None,
                     tag: str = "", win: int = 0, nslices: int = 0,
-                    relabel: "str | None" = None) -> str:
+                    relabel: "str | None" = None,
+                    pair: "bool | None" = None) -> str:
     """Content-addressed cache filename for a plan.
 
     Keyed on the exact edge arrays (+ values), node count, tag, the
@@ -290,9 +298,11 @@ def plan_cache_path(cache_dir: str, src, dst, n: int, values=None,
     import hashlib
     import os
 
+    if pair is None:
+        pair = _pair_default()
     h = hashlib.blake2b(digest_size=16)
     h.update(np.asarray([n, np.asarray(src).size, EdgePlan.FORMAT_VERSION,
-                         win or 0, nslices or 0],
+                         win or 0, nslices or 0, 1 if pair else 0],
                         np.int64).tobytes())
     # NUL separators: concatenated free-form strings must not collide
     # across fields (tag="degree" vs relabel="degree")
@@ -332,7 +342,8 @@ def load_or_build_plan(
     req_nslices = kw.get("nslices") or 0
     path = plan_cache_path(cache_dir, src, dst, n, values=values,
                            win=req_win, nslices=req_nslices,
-                           relabel=kw.get("relabel"))
+                           relabel=kw.get("relabel"),
+                           pair=kw.get("pair"))
     if os.path.exists(path):
         try:
             plan = EdgePlan.load(path)
@@ -418,9 +429,7 @@ def build_plan(
         raise ValueError(f"relabel must be None or 'degree', got {relabel!r}")
 
     if pair is None:
-        import os as _os
-
-        pair = _os.environ.get("GRAPH_TPU_PAIR", "0") == "1"
+        pair = _pair_default()
     if (pair and values is None and not n_src and perm is not None
             and lanemap is not False and colorer is None):
         plan = _build_plan_paired(src, dst, n, m, nmid, perm, t0,
