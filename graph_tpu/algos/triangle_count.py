@@ -214,6 +214,20 @@ def _group_cross(A, B, r0, ev, ew, *, rows_per):
     return _join_count(v, w, ev, ew)
 
 
+def _pad_edge_keys(ev, ew):
+    """Pad edge keys to a 2^20 multiple with a sentinel distinct from
+    the wedge pad (so pad wedges never match pad edges) — coarse
+    enough that the compile cache reuses join programs across similar
+    graphs, fine enough that re-sorted edges carry <= 3% pad."""
+    unit = 1 << 20
+    me = max(unit, -(-int(ev.size) // unit) * unit)
+    ev = np.pad(np.asarray(ev, np.int64), (0, me - ev.size),
+                constant_values=SENT + 1)
+    ew = np.pad(np.asarray(ew, np.int64), (0, me - ew.size),
+                constant_values=SENT + 1)
+    return ev.astype(np.int32), ew.astype(np.int32)
+
+
 def _run_join(mats, cross, ev, ew, cross_full=None):
     """Emit wedges group by group and join against the edge keys.
 
@@ -228,19 +242,9 @@ def _run_join(mats, cross, ev, ew, cross_full=None):
     the end (a host ``int()`` per group would serialize dispatch k+1
     behind group k and pay the ~30 ms tunnel floor per sync).
     """
-    # pad edges to a 2^20 multiple with a sentinel DISTINCT from the
-    # wedge pad (so pad wedges never match pad edges) — coarse enough
-    # that the compile cache reuses join programs across similar
-    # graphs, fine enough that the edges re-sorted with every group
-    # carry <= 3% pad
-    unit = 1 << 20
-    me = max(unit, -(-int(ev.size) // unit) * unit)
-    ev = np.pad(ev.astype(np.int64), (0, me - ev.size),
-                constant_values=SENT + 1)
-    ew = np.pad(ew.astype(np.int64), (0, me - ew.size),
-                constant_values=SENT + 1)
-    ev_dev = jnp.asarray(ev.astype(np.int32))
-    ew_dev = jnp.asarray(ew.astype(np.int32))
+    ev, ew = _pad_edge_keys(ev, ew)
+    ev_dev = jnp.asarray(ev)
+    ew_dev = jnp.asarray(ew)
     counts = []
     for cap, mat in (mats or {}).items():
         # slab-sized row groups keep the per-call sort shape ~SLAB
@@ -301,7 +305,39 @@ def global_triangle_count(graph: UndirectedCsrGraph) -> TriangleCountResult:
             "CsrLayout.DEDUPLICATED (the reference's merge intersection "
             "assumes sorted neighbor lists)"
         )
+    mesh = _default_mesh()
+    if mesh is not None:
+        from graph_tpu.parallel.tc import triangle_count_sharded
+
+        return triangle_count_sharded(graph, mesh)
     start = time.perf_counter()
+    prep = _prepare_distinct(graph)
+    if prep is None:
+        return TriangleCountResult(
+            triangles=0, micros=int((time.perf_counter() - start) * 1e6))
+    mats, cross, a, b = prep
+    count = _run_join(mats, cross, a, b)
+    micros = int((time.perf_counter() - start) * 1e6)
+    return TriangleCountResult(triangles=count, micros=micros)
+
+
+def _default_mesh():
+    """The mesh installed via graph_tpu.parallel.use_mesh, if multi-device."""
+    from graph_tpu.parallel.mesh import get_default_mesh
+
+    mesh = get_default_mesh()
+    if mesh is not None and mesh.devices.size > 1:
+        return mesh
+    return None
+
+
+def _prepare_distinct(graph: UndirectedCsrGraph):
+    """Host prep for distinct counting: orient + pack.
+
+    Returns (mats, cross, a, b) — the degree-class chunk matrices,
+    cross-chunk row pairs and oriented edge keys — or None for an
+    empty graph.  Shared by the single-device join (:func:`_run_join`)
+    and the wedge-partitioned sharded join (parallel/tc.py)."""
     n = graph.node_count
     srcs = np.asarray(graph.csr.sources).astype(np.int64)
     tgts = np.asarray(graph.csr.targets).astype(np.int64)
@@ -310,8 +346,7 @@ def global_triangle_count(graph: UndirectedCsrGraph) -> TriangleCountResult:
     m_real = int(np.asarray(graph.csr.offsets[-1]))
     srcs, tgts = srcs[:m_real], tgts[:m_real]
     if n == 0 or srcs.size == 0:
-        return TriangleCountResult(
-            triangles=0, micros=int((time.perf_counter() - start) * 1e6))
+        return None
     if n >= SENT:
         raise ValueError(f"triangle count supports node_count < 2^29, got {n}")
 
@@ -336,20 +371,37 @@ def global_triangle_count(graph: UndirectedCsrGraph) -> TriangleCountResult:
         a, b = a[o], b[o]
 
     mats, cross = _pack_chunks(a.astype(np.int64), b.astype(np.int32))
-    count = _run_join(mats, cross, a, b)
-    micros = int((time.perf_counter() - start) * 1e6)
-    return TriangleCountResult(triangles=count, micros=micros)
+    return mats, cross, a, b
 
 
 def _multiset_triangle_count(graph: UndirectedCsrGraph) -> TriangleCountResult:
     """Reference merge-loop semantics on SORTED lists (see module doc)."""
+    mesh = _default_mesh()
+    if mesh is not None:
+        from graph_tpu.parallel.tc import triangle_count_sharded
+
+        return triangle_count_sharded(graph, mesh)
     start = time.perf_counter()
+    prep = _prepare_multiset(graph)
+    if prep is None:
+        return TriangleCountResult(
+            triangles=0, micros=int((time.perf_counter() - start) * 1e6))
+    A, B, eu, ev2 = prep
+    count = _run_join({}, None, eu, ev2, cross_full=(A, B))
+    micros = int((time.perf_counter() - start) * 1e6)
+    return TriangleCountResult(triangles=count, micros=micros)
+
+
+def _prepare_multiset(graph: UndirectedCsrGraph):
+    """Host prep for SORTED multiset counting: G(v) x F(v) chunk-row
+    matrices + distinct membership keys.
+
+    Returns (A, B, edge_u, edge_w) or None when no wedges exist."""
     n = graph.node_count
     srcs = np.asarray(graph.csr.sources).astype(np.int64)
     tgts = np.asarray(graph.csr.targets).astype(np.int64)
     if n == 0 or srcs.size == 0:
-        return TriangleCountResult(
-            triangles=0, micros=int((time.perf_counter() - start) * 1e6))
+        return None
     if n >= SENT:
         raise ValueError(f"triangle count supports node_count < 2^29, got {n}")
 
@@ -391,8 +443,7 @@ def _multiset_triangle_count(graph: UndirectedCsrGraph) -> TriangleCountResult:
         pa.append((grs[nodes][:, None] + ia.ravel()[None, :]).ravel())
         pb.append((frs[nodes][:, None] + ib.ravel()[None, :]).ravel())
     if not pa:
-        return TriangleCountResult(
-            triangles=0, micros=int((time.perf_counter() - start) * 1e6))
+        return None
     A = gm[np.concatenate(pa)]
     B = fm[np.concatenate(pb)]
 
@@ -400,6 +451,4 @@ def _multiset_triangle_count(graph: UndirectedCsrGraph) -> TriangleCountResult:
     uniq = np.ones(srcs.size, bool)
     if srcs.size > 1:
         uniq[1:] = ~((srcs[1:] == srcs[:-1]) & (tgts[1:] == tgts[:-1]))
-    count = _run_join({}, None, srcs[uniq], tgts[uniq], cross_full=(A, B))
-    micros = int((time.perf_counter() - start) * 1e6)
-    return TriangleCountResult(triangles=count, micros=micros)
+    return A, B, srcs[uniq], tgts[uniq]

@@ -274,10 +274,15 @@ def pick_win(counts_by_cfg) -> tuple:
 
 
 def _pair_default() -> bool:
-    """Effective hub-pair default: $GRAPH_TPU_PAIR (off unless =1)."""
+    """Effective hub-pair default: $GRAPH_TPU_PAIR (on unless =0).
+
+    Defaults ON since landing end-to-end: measured on v5e, spmv
+    0.1488 -> 0.1227 ns/edge at scale 22 and 0.1241 -> 0.0991 at
+    scale 19 (PERF_NOTES round-5), bit-exact vs the unpaired plan
+    (tests/test_engine.py::test_plan_paired_engine_exact)."""
     import os
 
-    return os.environ.get("GRAPH_TPU_PAIR", "0") == "1"
+    return os.environ.get("GRAPH_TPU_PAIR", "1") != "0"
 
 
 def plan_cache_path(cache_dir: str, src, dst, n: int, values=None,
@@ -402,7 +407,7 @@ def build_plan(
     engines, whose stacked single-class kernels assume the positional
     widx encoding on every device.
 
-    ``pair``: None follows $GRAPH_TPU_PAIR (default off).  Hub-pair
+    ``pair``: None follows $GRAPH_TPU_PAIR (default on).  Hub-pair
     slot compression (graph_tpu.engine.pair): two same-destination hub
     edges share one slot, gathered through two lanemap streams and
     combined in K1 (kernels mode="pair").  Applies only to unweighted

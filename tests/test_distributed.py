@@ -320,3 +320,35 @@ def test_wcc_jump_every_matches(graph, mesh):
     rb = wcc_rowblock(rbe, jump_every=3)
     np.testing.assert_array_equal(rb.components_np(),
                                   every.components_np())
+
+
+def test_sharded_triangle_count_matches_single(mesh):
+    """Wedge-partitioned TC over the mesh == single-device counts,
+    including the scale-8 SORTED multiset golden 227,874
+    (crates/mate/tests/triangle_count_test.py:5-9)."""
+    from conftest import resource
+
+    from graph_tpu import CsrLayout, global_triangle_count
+    from graph_tpu.io.graph500 import Graph500Input
+    from graph_tpu.graph.ops import make_degree_ordered
+    from graph_tpu.parallel.tc import triangle_count_sharded
+
+    ug = (GraphBuilder().csr_layout(CsrLayout.SORTED)
+          .file_format(Graph500Input())
+          .path(resource("scale_8.graph500")).build_undirected())
+    g_sorted = make_degree_ordered(ug)
+    r = triangle_count_sharded(g_sorted, mesh)
+    assert r.triangles == 227874
+
+    ug2 = (GraphBuilder().csr_layout(CsrLayout.DEDUPLICATED)
+           .file_format(Graph500Input())
+           .path(resource("scale_8.graph500")).build_undirected())
+    single = global_triangle_count(ug2).triangles
+    sharded = triangle_count_sharded(ug2, mesh).triangles
+    assert sharded == single
+
+    # default-mesh routing: global_triangle_count inside use_mesh
+    from graph_tpu.parallel.mesh import use_mesh
+
+    with use_mesh(mesh):
+        assert global_triangle_count(ug2).triangles == single
