@@ -48,8 +48,10 @@ def _k1_classes(plan: EdgePlan):
            else np.zeros(nblocks, bool))
     pm = (plan.pm.astype(bool) if getattr(plan, "pm", None) is not None
           else np.zeros(nblocks, bool))
-    lm &= ~pm
-    lm2 &= ~pm
+    qm = (plan.qm.astype(bool) if getattr(plan, "qm", None) is not None
+          else np.zeros(nblocks, bool))
+    lm &= ~pm & ~qm
+    lm2 &= ~pm & ~qm
     tile_max = widx.reshape(-1, TILE).max(axis=1).astype(np.int64)
     blk_rows = tile_max.reshape(-1, TPB).max(axis=1) // 128 + 1
     # lanemap blocks (plan lanemap_pack): widx carries the row TABLE in
@@ -68,30 +70,36 @@ def _k1_classes(plan: EdgePlan):
         lm2_rows = np.maximum(a1max.reshape(-1, TPB).max(axis=1),
                               t2max.reshape(-1, TPB).max(axis=1)) + 1
         blk_rows = np.where(lm2, lm2_rows, blk_rows)
-    if pm.any():
-        # pair blocks (plan v10): two 8-bit row tables (widx bits 7..14
-        # each stream, bit 15 reserved zero); window need covers both
-        pamax = np.maximum(
-            ((widx >> 7) & 255).reshape(-1, TILE).max(axis=1),
-            ((plan.widx2.astype(np.int32) >> 7) & 255)
-            .reshape(-1, TILE).max(axis=1))
+    if pm.any() or qm.any():
+        # pair/quad blocks (plan v10/v11): 8-bit row tables (widx bits
+        # 7..14 each stream, bit 15 reserved zero); window need covers
+        # every stream of the block
+        streams = [widx, plan.widx2.astype(np.int32)]
+        if qm.any():
+            streams += [plan.widx3.astype(np.int32),
+                        plan.widx4.astype(np.int32)]
+        pamax = ((widx >> 7) & 255).reshape(-1, TILE).max(axis=1)
+        for s in streams[1:]:
+            pamax = np.maximum(pamax, ((s >> 7) & 255)
+                               .reshape(-1, TILE).max(axis=1))
         pm_rows = pamax.reshape(-1, TPB).max(axis=1).astype(np.int64) + 1
-        blk_rows = np.where(pm, pm_rows, blk_rows)
+        blk_rows = np.where(pm | qm, pm_rows, blk_rows)
     # 1024-granularity classes (ws starts are 1024-aligned): power-of-two
     # rounding cost up to 2x scan rows (e.g. 37 actual rows paid 64)
-    # (pair blocks cap at their own 32768 hub window, not plan.win)
-    cap = np.where(pm, 32768, plan.win)
+    # (pair/quad blocks cap at their own 32768 hub window, not plan.win)
+    cap = np.where(pm | qm, 32768, plan.win)
     need = np.maximum(1024, np.minimum(
         cap, ((blk_rows * 128 + 1023) // 1024) * 1024))
     # row-matched blocks: every slot's window row == 8*(widx>>10) + row
     r3 = (widx >> 7) & 7
     rowpat = (np.arange(widx.shape[0], dtype=np.int32) % 8)[:, None]
     conform = ((r3 == rowpat).all(axis=1)
-               .reshape(-1, BLK // 128).all(axis=1)) & ~lm & ~lm2 & ~pm
+               .reshape(-1, BLK // 128).all(axis=1)) & ~lm & ~lm2 & ~pm & ~qm
     out = []
-    for mode, sel in (("rowscan", ~conform & ~lm & ~lm2 & ~pm),
+    for mode, sel in (("rowscan", ~conform & ~lm & ~lm2 & ~pm & ~qm),
                       ("rowmatch", conform),
-                      ("lanemap", lm), ("lanemap2", lm2), ("pair", pm)):
+                      ("lanemap", lm), ("lanemap2", lm2), ("pair", pm),
+                      ("quad", qm)):
         if not sel.any():
             continue
         need_m = np.where(sel, need, -1)
@@ -233,15 +241,18 @@ class EdgeEngine:
         accumulator domain, so paired results stay bit-exact."""
         contrib = None
         for win_c, mode_c in self.k1_cls:
+            comp = mode_c in ("pair", "quad")
             contrib = k1_gather(
                 xp, dev["widx"], dev[f"border{win_c}_{mode_c}"], dev["sb"],
                 dev["ws"], win=win_c, nslices=self.plan.nslices,
-                weights=weights if mode_c != "pair" else None,
-                combine=combine if mode_c != "pair" else "none",
+                weights=weights if not comp else None,
+                combine=combine if not comp else "none",
                 mode=mode_c,
                 out_init=contrib, interpret=self.interpret,
                 wt2=dev.get("wt2") if mode_c == "lanemap2" else None,
-                widx2=dev.get("widx2") if mode_c == "pair" else None,
+                widx2=dev.get("widx2") if comp else None,
+                widx3=dev.get("widx3") if mode_c == "quad" else None,
+                widx4=dev.get("widx4") if mode_c == "quad" else None,
                 pair_op=pair_op)
         return contrib
 

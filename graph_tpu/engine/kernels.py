@@ -59,7 +59,8 @@ def _pmod(a, n):
 def _k1_kernel(border_ref, sb_ref, ws_ref, x_refs, widx_ref, out_ref,
                xs_ref, *, win=WIN, ew_ref=None, combine="none",
                mode="rowscan", modular=False, wt2_ref=None,
-               widx2_ref=None, pair_op="add"):
+               widx2_ref=None, widx3_ref=None, widx4_ref=None,
+               pair_op="add"):
     """Windowed gather; optionally combines a per-edge weight stream:
     combine="add" -> x[src] + w (tropical, SSSP relaxation),
     combine="mul" -> x[src] * w (weighted SpMV).
@@ -195,13 +196,14 @@ def _k1_kernel(border_ref, sb_ref, ws_ref, x_refs, widx_ref, out_ref,
                 sel == 1,
                 jnp.take_along_axis(u2, lo, axis=1),
                 jnp.take_along_axis(u1, lo, axis=1))
-        elif mode == "pair":
-            # Hub-pair slots (round 4): one slot carries TWO same-
-            # destination hub edges; K1 gathers both sources through
-            # two independent lanemap streams (widx = stream 1, widx2 =
-            # stream 2, each: slot window lane in bits 0..6, per-lane
-            # 8-bit row table in bits 7..14 — the HUB=32768 cutoff
-            # keeps table entries <= 255; bit 15 is reserved zero in
+        elif mode in ("pair", "quad"):
+            # Hub-pair/quad slots (rounds 4-5): one slot carries TWO
+            # (mode="pair") or FOUR (mode="quad") same-destination hub
+            # edges; K1 gathers each source through an independent
+            # lanemap stream (widx, widx2[, widx3, widx4] — each: slot
+            # window lane in bits 0..6, per-lane 8-bit row table in
+            # bits 7..14 — the HUB=32768 cutoff keeps table entries
+            # <= 255; bit 15 is reserved zero in
             # pair streams) and emits their combine
             # (+ for sum plans, min for min plans — both associative
             # and commutative in the K2 accumulator domain, so results
@@ -209,23 +211,27 @@ def _k1_kernel(border_ref, sb_ref, ws_ref, x_refs, widx_ref, out_ref,
             # for the ~2/3 of power-law edges that originate at hub
             # sources (PERF_NOTES round-4: 97.4% of scale-22 hub edges
             # pair up; slot ratio 0.689).
-            A1 = (idx >> 7) & 255
-            idx2 = widx2_ref[pl.ds(t * 8, 8), :].astype(jnp.int32)
-            lo2 = idx2 & 127
-            A2 = (idx2 >> 7) & 255
-            g1 = A1 >> 3
-            g2 = A2 >> 3
-            u1 = jnp.zeros((8, 128), xs_ref.dtype)
-            u2 = jnp.zeros((8, 128), xs_ref.dtype)
-            for g in range(win // 1024):
-                wg = w[g * 8:(g + 1) * 8, :]
-                u1 = jnp.where(g1 == g,
-                               jnp.take_along_axis(wg, A1 & 7, axis=0), u1)
-                u2 = jnp.where(g2 == g,
-                               jnp.take_along_axis(wg, A2 & 7, axis=0), u2)
-            v1 = jnp.take_along_axis(u1, lo, axis=1)
-            v2 = jnp.take_along_axis(u2, lo2, axis=1)
-            acc = (v1 + v2) if pair_op == "add" else jnp.minimum(v1, v2)
+            streams = [idx]
+            for sref in (widx2_ref, widx3_ref, widx4_ref):
+                if sref is not None:
+                    streams.append(sref[pl.ds(t * 8, 8), :]
+                                   .astype(jnp.int32))
+            vals = []
+            for sidx in streams:
+                slo = sidx & 127
+                A = (sidx >> 7) & 255
+                gA = A >> 3
+                u = jnp.zeros((8, 128), xs_ref.dtype)
+                for g in range(win // 1024):
+                    wg = w[g * 8:(g + 1) * 8, :]
+                    u = jnp.where(gA == g,
+                                  jnp.take_along_axis(wg, A & 7, axis=0),
+                                  u)
+                vals.append(jnp.take_along_axis(u, slo, axis=1))
+            acc = vals[0]
+            for v_k in vals[1:]:
+                acc = (acc + v_k) if pair_op == "add" else jnp.minimum(
+                    acc, v_k)
         else:
             hi = idx >> 7
             acc = jnp.zeros((8, 128), xs_ref.dtype)
@@ -246,7 +252,7 @@ def _k1_kernel(border_ref, sb_ref, ws_ref, x_refs, widx_ref, out_ref,
 def k1_gather(x_padded, widx, border, sb, ws, *, win=WIN, nslices=NSLICES,
               weights=None, combine="add", out_init=None, interpret=False,
               mode="rowscan", modular=None, wt2=None, widx2=None,
-              pair_op="add"):
+              widx3=None, widx4=None, pair_op="add"):
     """Per-edge gather: out[i] = x_padded[plan position of slot i].
 
     x_padded: (nx,) f32, nx a multiple of SLICE (>= (max(sb)+NSLICES)*SLICE).
@@ -271,13 +277,16 @@ def k1_gather(x_padded, widx, border, sb, ws, *, win=WIN, nslices=NSLICES,
     nblk = border.shape[0]
     if (wt2 is not None) != (mode == "lanemap2"):
         raise ValueError("wt2 is required iff mode='lanemap2'")
-    if (widx2 is not None) != (mode == "pair"):
-        raise ValueError("widx2 is required iff mode='pair'")
-    if mode == "pair" and weights is not None:
-        raise ValueError("pair blocks carry no per-edge weights")
+    if (widx2 is not None) != (mode in ("pair", "quad")):
+        raise ValueError("widx2 is required iff mode='pair'/'quad'")
+    if (widx3 is not None) != (mode == "quad") or (
+            widx4 is not None) != (mode == "quad"):
+        raise ValueError("widx3/widx4 are required iff mode='quad'")
+    if mode in ("pair", "quad") and weights is not None:
+        raise ValueError("pair/quad blocks carry no per-edge weights")
     n_in = ((1 + nslices) if weights is None else (2 + nslices)) + (
         0 if out_init is None else 1) + (0 if wt2 is None else 1) + (
-        0 if widx2 is None else 1)
+        0 if widx2 is None else 1) + (0 if widx3 is None else 2)
     if modular is None:
         # Default OFF (measured): the block visit order is slice-major
         # (border sorted by sb), so slice-base changes are rare (~one
@@ -316,34 +325,42 @@ def k1_gather(x_padded, widx, border, sb, ws, *, win=WIN, nslices=NSLICES,
         scratch_shapes=[pltpu.VMEM(
             ((nslices + (1 if modular else 0)) * SLICE,), x_padded.dtype)],
     )
-    nw = 0 if wt2 is None else 1
     extra = [] if wt2 is None else [wt2]
     if widx2 is not None:
-        extra = [widx2]  # mutually exclusive with wt2 (mode check above)
-        nw = 1
+        # mutually exclusive with wt2 (mode check above)
+        extra = [widx2] if widx3 is None else [widx2, widx3, widx4]
+    nw = len(extra)
+
+    def _stream_kwargs(e_refs):
+        if mode == "lanemap2":
+            return {"wt2_ref": e_refs[0]}
+        if mode == "pair":
+            return {"widx2_ref": e_refs[0]}
+        if mode == "quad":
+            return {"widx2_ref": e_refs[0], "widx3_ref": e_refs[1],
+                    "widx4_ref": e_refs[2]}
+        return {}
 
     if weights is None:
         def kernel(border_ref, sb_ref, ws_ref, *rest):
             x_refs = rest[:nslices]
             widx_ref, out_ref, xs_ref = rest[nslices], rest[-2], rest[-1]
-            e_ref = rest[nslices + 1] if nw else None
+            e_refs = rest[nslices + 1: nslices + 1 + nw]
             _k1_kernel(border_ref, sb_ref, ws_ref, x_refs, widx_ref,
                        out_ref, xs_ref, win=win, mode=mode, modular=modular,
-                       wt2_ref=e_ref if mode == "lanemap2" else None,
-                       widx2_ref=e_ref if mode == "pair" else None,
-                       pair_op=pair_op)
+                       pair_op=pair_op, **_stream_kwargs(e_refs))
         args = ([border, sb, ws] + [x_padded] * nslices + [widx] + extra)
     else:
         def kernel(border_ref, sb_ref, ws_ref, *rest):
             x_refs = rest[:nslices]
             widx_ref = rest[nslices]
-            e_ref = rest[nslices + 1] if nw else None
+            e_refs = rest[nslices + 1: nslices + 1 + nw]
             ew_ref = rest[nslices + 1 + nw]
             out_ref, xs_ref = rest[-2], rest[-1]
             _k1_kernel(border_ref, sb_ref, ws_ref, x_refs, widx_ref,
                        out_ref, xs_ref, win=win, ew_ref=ew_ref,
                        combine=combine, mode=mode, modular=modular,
-                       wt2_ref=e_ref if mode == "lanemap2" else None)
+                       **_stream_kwargs(e_refs))
         args = ([border, sb, ws] + [x_padded] * nslices + [widx]
                 + extra + [weights])
     aliases = {}

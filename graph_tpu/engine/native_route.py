@@ -284,6 +284,65 @@ def pair_place_native(s1, s2, dstl, tile_pool: int = 16):
     return widx, widx2, keys
 
 
+_quad_lib = None
+_quad_failed = False
+
+
+def _load_quad():
+    global _quad_lib, _quad_failed
+    if _quad_lib is not None or _quad_failed:
+        return _quad_lib
+    try:
+        from graph_tpu.native.build import build_library
+
+        lib = ctypes.CDLL(build_library("quad_place.cpp"))
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        lib.gt_quad_place.restype = ctypes.c_int64
+        lib.gt_quad_place.argtypes = [
+            i32p, i32p, i32p, i32p, i32p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(u16p), ctypes.POINTER(i32p),
+        ]
+        lib.gt_quad_free.argtypes = [ctypes.POINTER(u16p), i32p]
+        _quad_lib = lib
+    except Exception as exc:  # pragma: no cover - env without g++
+        log.warning("native quad_place unavailable (%s); python placement",
+                    exc)
+        _quad_failed = True
+    return _quad_lib
+
+
+def quad_place_native(q, dstl, tile_pool: int = 16, nperm: int = 4):
+    """Greedy hub-quad placement for one mid (native/quad_place.cpp).
+
+    Mirrors graph_tpu.engine.pair.place_mid_quads bit for bit.  Returns
+    (w1, w2, w3, w4, keys) or None when unavailable."""
+    lib = _load_quad()
+    if lib is None:
+        return None
+    q = np.ascontiguousarray(q, np.int32)
+    dstl = np.ascontiguousarray(dstl, np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    w_out = (u16p * 4)()
+    kp = ctypes.POINTER(ctypes.c_int32)()
+    ntiles = lib.gt_quad_place(
+        q[0].ctypes.data_as(i32p), q[1].ctypes.data_as(i32p),
+        q[2].ctypes.data_as(i32p), q[3].ctypes.data_as(i32p),
+        dstl.ctypes.data_as(i32p), ctypes.c_int64(q.shape[1]),
+        ctypes.c_int32(tile_pool), ctypes.c_int32(nperm),
+        ctypes.cast(w_out, ctypes.POINTER(u16p)), ctypes.byref(kp))
+    if ntiles < 0:  # pragma: no cover
+        return None
+    n = int(ntiles)
+    ws = [np.ctypeslib.as_array(w_out[k], (n * 8, 128)).copy()
+          for k in range(4)]
+    keys = np.ctypeslib.as_array(kp, (n * 1024,)).copy()
+    lib.gt_quad_free(ctypes.cast(w_out, ctypes.POINTER(u16p)), kp)
+    return ws[0], ws[1], ws[2], ws[3], keys
+
+
 def build_layout_native(src, dst, values=None, n=0, win: int = 0,
                         nslices: int = 0, n_src: int = 0, nthreads: int = 0):
     """Sort + slot-stream layout in C++ (win=0 auto-selects the K1

@@ -36,8 +36,14 @@ HUB = 32768
 #: Skip pairing for mids with fewer pairs than this (the pair region
 #: pads to whole sections; tiny mids would pad more than they save).
 MIN_PAIRS = 2 * BLK
+#: Same break-even for quad regions (in quads).
+MIN_QUADS = 2 * BLK
 #: Open-tile pool size for the greedy placement.
 TILE_POOL = 16
+#: Cyclic stream-rotation candidates tried per quad placement (4 covers
+#: ~100% of scale-22 quads with 3.9% tile pad,
+#: scripts/quad_place_proto.py).
+QUAD_PERMS = 4
 
 
 def split_pairs(src, dst, n):
@@ -73,6 +79,162 @@ def split_pairs(src, dst, n):
     rest_src = np.concatenate([src[~hub_mask], hs[~paired]])
     rest_dst = np.concatenate([dst[~hub_mask], hd[~paired]])
     return s1, s2, d, rest_src, rest_dst
+
+
+def split_quads(src, dst, n):
+    """Partition edges into hub QUADS and rest (round 5).
+
+    Four same-destination hub edges share one slot (kernels
+    mode="quad").  Returns (q, d, rest_src, rest_dst): q is a (4, nq)
+    int64 array of quad sources, d their common destinations; rest
+    covers every other edge exactly once (feed it to
+    :func:`split_pairs` to pair the leftovers).
+    """
+    hub = min(HUB, n)
+    hub_mask = src < hub
+    hs, hd = src[hub_mask], dst[hub_mask]
+    o = np.lexsort((hs, hd))
+    hs, hd = hs[o], hd[o]
+    run_start = np.ones(hs.size, bool)
+    if hs.size > 1:
+        run_start[1:] = hd[1:] != hd[:-1]
+    gid = np.cumsum(run_start) - 1
+    cnt = np.bincount(gid) if hs.size else np.zeros(0, np.int64)
+    starts = np.concatenate([[0], np.cumsum(cnt)])
+    pos = np.arange(hs.size, dtype=np.int64) - starts[gid]
+    quaded = (pos | 3) < cnt[gid]
+    mid = hd // MID
+    q_mid = mid[quaded & (pos % 4 == 0)]
+    per_mid = np.bincount(q_mid) if q_mid.size else np.zeros(0)
+    ok_mid = np.zeros(int(mid.max()) + 1 if mid.size else 0, bool)
+    ok_mid[: per_mid.size] = per_mid >= MIN_QUADS
+    quaded &= ok_mid[mid]
+    qsel = [quaded & (pos % 4 == k) for k in range(4)]
+    q = np.stack([hs[s] for s in qsel])
+    d = hd[qsel[0]]
+    rest_src = np.concatenate([src[~hub_mask], hs[~quaded]])
+    rest_dst = np.concatenate([dst[~hub_mask], hd[~quaded]])
+    return q, d, rest_src, rest_dst
+
+
+def place_mid_quads(q, dstl, tile_pool=TILE_POOL, nperm=QUAD_PERMS):
+    """Greedy four-stream placement of one mid's quads into tiles.
+
+    q: (4, nq) sources; returns (widx (ntiles*8, 128) x4 tuple, keys).
+    Stream assignment tries ``nperm`` cyclic rotations of the given
+    source order per (tile, row).  Pure-python reference; the C++ port
+    (gt_quad_place, native/quad_place.cpp) mirrors it bit for bit.
+    """
+    nq = q.shape[1]
+    lanes = (q & 127).astype(np.int32)
+    rows = (q >> 7).astype(np.int32)
+    tiles = []
+    open_idx = []
+
+    def new_tile():
+        t = {
+            "tab": np.full((4, 8, 128), -1, np.int16),
+            "fill": np.zeros(8, np.int32),
+            "lane": [[[] for _ in range(8)] for _ in range(4)],
+            "key": [[] for _ in range(8)],
+        }
+        t["fill"][0] = 1  # (0, 0) reserved for the section-lead pad
+        tiles.append(t)
+        open_idx.append(len(tiles) - 1)
+        return t
+
+    perms = [np.roll(np.arange(4), -r) for r in range(nperm)]
+    for i in range(nq):
+        ls, hs = lanes[:, i], rows[:, i]
+        placed = False
+        for ti in open_idx:
+            t = tiles[ti]
+            tab, fill = t["tab"], t["fill"]
+            for r in range(8):
+                if fill[r] >= 128:
+                    continue
+                for p in perms:
+                    ok = True
+                    for k in range(4):
+                        e = tab[k, r, ls[p[k]]]
+                        if e >= 0 and e != hs[p[k]]:
+                            ok = False
+                            break
+                    if ok:
+                        for k in range(4):
+                            tab[k, r, ls[p[k]]] = hs[p[k]]
+                            t["lane"][k][r].append(int(ls[p[k]]))
+                        t["key"][r].append(int(dstl[i]))
+                        fill[r] += 1
+                        placed = True
+                        break
+                if placed:
+                    break
+            if placed:
+                break
+        if not placed:
+            if len(open_idx) >= tile_pool:
+                j = max(open_idx, key=lambda x: int(tiles[x]["fill"].sum()))
+                open_idx.remove(j)
+            t = new_tile()
+            for k in range(4):
+                t["tab"][k, 0, ls[k]] = hs[k]
+                t["lane"][k][0].append(int(ls[k]))
+            t["key"][0].append(int(dstl[i]))
+            t["fill"][0] += 1
+
+    ntiles = len(tiles)
+    ws = [np.zeros((ntiles * 8, 128), np.uint16) for _ in range(4)]
+    keys = np.full(ntiles * TILE, MID, np.int32)
+    for t_i, t in enumerate(tiles):
+        for r in range(8):
+            base = 1 if r == 0 else 0
+            k_r = len(t["key"][r])
+            for kk in range(4):
+                tabk = np.maximum(t["tab"][kk, r], 0).astype(np.uint16)
+                row = (tabk << 7).copy()
+                if k_r:
+                    row[base:base + k_r] |= np.asarray(
+                        t["lane"][kk][r], np.uint16)
+                ws[kk][t_i * 8 + r] = row
+            if k_r:
+                keys[t_i * TILE + r * 128 + base:
+                     t_i * TILE + r * 128 + base + k_r] = t["key"][r]
+    return ws[0], ws[1], ws[2], ws[3], keys
+
+
+def quad_mid_layout(q, dstl, native=True):
+    """Place one mid's quads and pad the region to whole sections.
+
+    Returns (w1, w2, w3, w4, keys, nblocks); same section/lead
+    conventions as :func:`pair_mid_layout`.
+    """
+    res = None
+    if q.shape[1] and native:
+        from graph_tpu.engine.native_route import quad_place_native
+
+        res = quad_place_native(q, dstl, tile_pool=TILE_POOL,
+                                nperm=QUAD_PERMS)
+    if res is not None:
+        w1, w2, w3, w4, keys = res
+    elif q.shape[1]:
+        w1, w2, w3, w4, keys = place_mid_quads(q, dstl)
+    else:
+        z = np.zeros((0, 128), np.uint16)
+        w1 = w2 = w3 = w4 = z
+        keys = np.zeros(0, np.int32)
+    ntiles = w1.shape[0] // 8
+    sec_tiles = SEC // TILE
+    total = -(-max(ntiles, 1) // sec_tiles) * sec_tiles
+    pad_t = total - ntiles
+    if pad_t:
+        pw = np.zeros((pad_t * 8, 128), np.uint16)
+        w1, w2, w3, w4 = (np.concatenate([a, pw])
+                          for a in (w1, w2, w3, w4))
+        keys = np.concatenate([keys, np.full(pad_t * TILE, MID, np.int32)])
+    for t in range(0, total, sec_tiles):
+        keys[t * TILE] = -1
+    return w1, w2, w3, w4, keys, total // TPB
 
 
 def place_mid_pairs(s1, s2, dstl, tile_pool=TILE_POOL):

@@ -100,12 +100,20 @@ class EdgePlan:
     # stream-2 array, read only for pair blocks.
     pm: "np.ndarray | None" = None     # (nblocks,) uint8 or None
     widx2: "np.ndarray | None" = None  # (nslots//128, 128) uint16 or None
+    # hub-quad blocks (round 5): one slot carries FOUR same-destination
+    # hub edges through four lanemap streams (kernels mode="quad";
+    # widx2 doubles as quad stream 2, widx3/widx4 are streams 3/4,
+    # read only for quad blocks).
+    qm: "np.ndarray | None" = None     # (nblocks,) uint8 or None
+    widx3: "np.ndarray | None" = None  # (nslots//128, 128) uint16 or None
+    widx4: "np.ndarray | None" = None  # (nslots//128, 128) uint16 or None
 
     @property
     def nsrc(self) -> int:
         return self.n_src or self.n
 
-    FORMAT_VERSION = 10  # v10: hub-pair blocks (pm/widx2);
+    FORMAT_VERSION = 11  # v11: hub-quad blocks (qm/widx3/widx4);
+    # v10: hub-pair blocks (pm/widx2);
     # v9: two-table lanemap (lm2/wt2) + 9-bit
     # tables for win-65536 plans;
     # v8: 8-bit lanemap row table at bits 7..14
@@ -145,6 +153,12 @@ class EdgePlan:
                 else self.pm.astype(np.uint8)),
             widx2=(np.zeros(0, np.uint16) if self.widx2 is None
                    else self.widx2),
+            qm=(np.zeros(0, np.uint8) if self.qm is None
+                else self.qm.astype(np.uint8)),
+            widx3=(np.zeros(0, np.uint16) if self.widx3 is None
+                   else self.widx3),
+            widx4=(np.zeros(0, np.uint16) if self.widx4 is None
+                   else self.widx4),
         )
 
     @staticmethod
@@ -163,6 +177,9 @@ class EdgePlan:
         wt2 = z["wt2"] if "wt2" in z.files else np.zeros(0, np.uint8)
         pm = z["pm"] if "pm" in z.files else np.zeros(0, np.uint8)
         widx2 = z["widx2"] if "widx2" in z.files else np.zeros(0, np.uint16)
+        qm = z["qm"] if "qm" in z.files else np.zeros(0, np.uint8)
+        widx3 = z["widx3"] if "widx3" in z.files else np.zeros(0, np.uint16)
+        widx4 = z["widx4"] if "widx4" in z.files else np.zeros(0, np.uint16)
         return EdgePlan(
             n=int(h[0]), m=int(h[1]), nslots=int(h[2]), nmid=int(h[3]),
             nsec=int(h[4]), nx=int(h[5]), win=int(h[7]),
@@ -179,6 +196,9 @@ class EdgePlan:
             wt2=None if wt2.size == 0 else wt2,
             pm=None if pm.size == 0 else pm,
             widx2=None if widx2.size == 0 else widx2,
+            qm=None if qm.size == 0 else qm,
+            widx3=None if widx3.size == 0 else widx3,
+            widx4=None if widx4.size == 0 else widx4,
         )
 
     def device_arrays(self):
@@ -207,6 +227,9 @@ class EdgePlan:
             out["wt2"] = jnp.asarray(self.wt2)
         if self.widx2 is not None:
             out["widx2"] = jnp.asarray(self.widx2)
+        if self.widx3 is not None:
+            out["widx3"] = jnp.asarray(self.widx3)
+            out["widx4"] = jnp.asarray(self.widx4)
         return out
 
 
@@ -307,7 +330,9 @@ def plan_cache_path(cache_dir: str, src, dst, n: int, values=None,
         pair = _pair_default()
     h = hashlib.blake2b(digest_size=16)
     h.update(np.asarray([n, np.asarray(src).size, EdgePlan.FORMAT_VERSION,
-                         win or 0, nslices or 0, 1 if pair else 0],
+                         win or 0, nslices or 0,
+                         (1 if pair else 0)
+                         + (2 if pair and _quad_default() else 0)],
                         np.int64).tobytes())
     # NUL separators: concatenated free-form strings must not collide
     # across fields (tag="degree" vs relabel="degree")
@@ -914,26 +939,40 @@ def _build_plan_native(src, dst, n, values, m, nmid, t0, win=0, nslices=0,
     return plan
 
 
+def _quad_default() -> bool:
+    """Effective hub-quad default: $GRAPH_TPU_QUAD (on unless =0)."""
+    import os
+
+    return os.environ.get("GRAPH_TPU_QUAD", "1") != "0"
+
+
 def _build_plan_paired(src, dst, n, m, nmid, perm, t0, win=None,
                        nslices=None, lanemap=None):
-    """Hub-pair plan (v10): rest edges via the native layout, per-mid
-    pair regions spliced in at section granularity.
+    """Hub-compressed plan (v10/v11): rest edges via the native layout,
+    per-mid QUAD and PAIR regions spliced in at section granularity.
 
-    Two same-destination hub edges share one slot (graph_tpu.engine
-    .pair); K1 gathers both sources through two lanemap streams
-    (kernels mode="pair") and emits their combine, so K2 routes and
-    scans fewer slots.  The reference has no analog — it visits every
-    edge individually (crates/algos/src/page_rank.rs:143-146).
+    Four (or two) same-destination hub edges share one slot
+    (graph_tpu.engine.pair); K1 gathers the sources through
+    independent lanemap streams (kernels mode="quad"/"pair") and emits
+    their combine, so K2 routes and scans fewer slots.  The reference
+    has no analog — it visits every edge individually
+    (crates/algos/src/page_rank.rs:143-146).
 
-    Returns None (caller falls back to the unpaired path) when nothing
-    pairs, the native toolchain is missing, or the base layout is not
-    per-mid monotone.
+    Returns None (caller falls back to the uncompressed path) when
+    nothing pairs, the native toolchain is missing, or the base layout
+    is not per-mid monotone.
     """
     from graph_tpu.engine import pair as _pair
     from graph_tpu.engine.native_route import build_sections_native
 
-    s1, s2, d, rest_src, rest_dst = _pair.split_pairs(src, dst, n)
-    if s1.size == 0:
+    if _quad_default():
+        q, dq, r1_src, r1_dst = _pair.split_quads(src, dst, n)
+    else:
+        q = np.zeros((4, 0), np.int64)
+        dq = np.zeros(0, np.int64)
+        r1_src, r1_dst = src, dst
+    s1, s2, d, rest_src, rest_dst = _pair.split_pairs(r1_src, r1_dst, n)
+    if s1.size == 0 and q.shape[1] == 0:
         return None
     base = _build_plan_native(rest_src, rest_dst, n, None,
                               int(rest_src.size), nmid, t0,
@@ -943,14 +982,18 @@ def _build_plan_paired(src, dst, n, m, nmid, perm, t0, win=None,
         return None
     smid = base.sec_mid.astype(np.int64)
     if smid.size and not (np.diff(smid) >= 0).all():
-        logger.warning("pair plan: base sections not mid-monotone; "
-                       "falling back to the unpaired plan")
+        logger.warning("compressed plan: base sections not mid-monotone; "
+                       "falling back to the uncompressed plan")
         return None
     sec_lo = np.searchsorted(smid, np.arange(nmid))
     sec_hi = np.searchsorted(smid, np.arange(nmid), side="right")
     pmid = (d // MID).astype(np.int64)
     dstl_p = (d - pmid * MID).astype(np.int32)
     p_starts = np.searchsorted(pmid, np.arange(nmid + 1))
+    qmid = (dq // MID).astype(np.int64)
+    dstl_q = (dq - qmid * MID).astype(np.int32)
+    q_starts = np.searchsorted(qmid, np.arange(nmid + 1))
+    has_quads = q.shape[1] > 0
 
     ROWS = SEC // 128   # widx/routing rows per section
     TPS = SEC // TILE   # tiles per section
@@ -960,15 +1003,38 @@ def _build_plan_paired(src, dst, n, m, nmid, perm, t0, win=None,
     base_lm2 = (base.lm2 if base.lm2 is not None
                 else np.zeros(base.sb.size, np.uint8))
 
-    widx_l, widx2_l, wt2_l, ws_l, sb_l = [], [], [], [], []
-    lm_l, lm2_l, pm_l, secmid_l = [], [], [], []
-    pair_keys, pair_nsec = [], []   # per-mid pair routing inputs
-    chunk_is_pair = []              # interleave order for routing rows
+    widx_l, widx2_l, widx3_l, widx4_l, wt2_l = [], [], [], [], []
+    ws_l, sb_l = [], []
+    lm_l, lm2_l, pm_l, qm_l, secmid_l = [], [], [], [], []
+    comp_keys = []     # pair+quad region keys, in stream order
+    chunk_kinds = []   # ("base"|"comp", nsec) interleave for routing
+
+    def _zrows(nsec_c):
+        return np.zeros((nsec_c * ROWS, 128), np.uint16)
+
+    def _comp_common(nsec_c, nb, keys, is_quad):
+        if base.wt2 is not None:
+            wt2_l.append(np.zeros((nsec_c * ROWS, 128), np.uint8))
+        ws_l.append(np.zeros(nsec_c * TPS, base.ws.dtype))
+        sb_l.append(np.zeros(nb, base.sb.dtype))
+        lm_l.append(np.zeros(nb, np.uint8))
+        lm2_l.append(np.zeros(nb, np.uint8))
+        pm_l.append(np.zeros(nb, np.uint8) if is_quad
+                    else np.ones(nb, np.uint8))
+        qm_l.append(np.ones(nb, np.uint8) if is_quad
+                    else np.zeros(nb, np.uint8))
+        secmid_l.append(np.full(nsec_c, mi, np.int32))
+        chunk_kinds.append(("comp", nsec_c))
+        comp_keys.append(keys)
+
     for mi in range(nmid):
         lo, hi = int(sec_lo[mi]), int(sec_hi[mi])
         nb = (hi - lo) * BPS
         widx_l.append(base.widx[lo * ROWS:hi * ROWS])
-        widx2_l.append(np.zeros(((hi - lo) * ROWS, 128), np.uint16))
+        widx2_l.append(_zrows(hi - lo))
+        if has_quads:
+            widx3_l.append(_zrows(hi - lo))
+            widx4_l.append(_zrows(hi - lo))
         if base.wt2 is not None:
             wt2_l.append(base.wt2[lo * ROWS:hi * ROWS])
         ws_l.append(base.ws[lo * TPS:hi * TPS])
@@ -976,49 +1042,55 @@ def _build_plan_paired(src, dst, n, m, nmid, perm, t0, win=None,
         lm_l.append(base_lm[lo * BPS:hi * BPS])
         lm2_l.append(base_lm2[lo * BPS:hi * BPS])
         pm_l.append(np.zeros(nb, np.uint8))
+        qm_l.append(np.zeros(nb, np.uint8))
         secmid_l.append(np.full(hi - lo, mi, np.int32))
-        chunk_is_pair.append((False, hi - lo))
+        chunk_kinds.append(("base", hi - lo))
+        qlo, qhi = int(q_starts[mi]), int(q_starts[mi + 1])
+        if qhi > qlo:
+            w1, w2, w3, w4, qkeys, nbq = _pair.quad_mid_layout(
+                q[:, qlo:qhi].astype(np.int64), dstl_q[qlo:qhi])
+            nsec_q = nbq // BPS
+            widx_l.append(w1.astype(np.uint16))
+            widx2_l.append(w2.astype(np.uint16))
+            widx3_l.append(w3.astype(np.uint16))
+            widx4_l.append(w4.astype(np.uint16))
+            _comp_common(nsec_q, nbq, qkeys, is_quad=True)
         plo, phi = int(p_starts[mi]), int(p_starts[mi + 1])
-        if phi == plo:
-            continue
-        pw, pw2, pkeys, nbp = _pair.pair_mid_layout(
-            s1[plo:phi].astype(np.int64), s2[plo:phi].astype(np.int64),
-            dstl_p[plo:phi])
-        nsec_p = nbp // BPS
-        widx_l.append(pw.astype(np.uint16))
-        widx2_l.append(pw2.astype(np.uint16))
-        if base.wt2 is not None:
-            wt2_l.append(np.zeros((nsec_p * ROWS, 128), np.uint8))
-        ws_l.append(np.zeros(nsec_p * TPS, base.ws.dtype))
-        sb_l.append(np.zeros(nbp, base.sb.dtype))
-        lm_l.append(np.zeros(nbp, np.uint8))
-        lm2_l.append(np.zeros(nbp, np.uint8))
-        pm_l.append(np.ones(nbp, np.uint8))
-        secmid_l.append(np.full(nsec_p, mi, np.int32))
-        chunk_is_pair.append((True, nsec_p))
-        pair_keys.append(pkeys)
-        pair_nsec.append(nsec_p)
+        if phi > plo:
+            pw, pw2, pkeys, nbp = _pair.pair_mid_layout(
+                s1[plo:phi].astype(np.int64), s2[plo:phi].astype(np.int64),
+                dstl_p[plo:phi])
+            nsec_p = nbp // BPS
+            widx_l.append(pw.astype(np.uint16))
+            widx2_l.append(pw2.astype(np.uint16))
+            if has_quads:
+                widx3_l.append(_zrows(nsec_p))
+                widx4_l.append(_zrows(nsec_p))
+            _comp_common(nsec_p, nbp, pkeys, is_quad=False)
 
-    # route all pair sections in one pass, then interleave with the
-    # base plan's already-routed rows in stream order
-    pk = np.concatenate(pair_keys)
-    routed = build_sections_native(pk.astype(np.int32))
-    if routed is not None:
-        pr = [a.reshape(-1, 128) for a in routed]
-    else:  # no native toolchain for routing: python per-section
-        nsp = pk.size // SEC
-        pr = [np.zeros((nsp * SEC_R, 128), np.uint16) for _ in range(5)]
-        for s in range(nsp):
-            rs = _section_python(pk[s * SEC:(s + 1) * SEC].astype(np.int64))
-            for a, r in zip(pr, rs):
-                a[s * SEC_R:(s + 1) * SEC_R] = r
+    # route all compressed-region sections in one pass, then interleave
+    # with the base plan's already-routed rows in stream order
+    ck = np.concatenate(comp_keys) if comp_keys else np.zeros(0, np.int32)
+    if ck.size:
+        routed = build_sections_native(ck.astype(np.int32))
+        if routed is not None:
+            pr = [a.reshape(-1, 128) for a in routed]
+        else:  # no native toolchain for routing: python per-section
+            nsp = ck.size // SEC
+            pr = [np.zeros((nsp * SEC_R, 128), np.uint16)
+                  for _ in range(5)]
+            for s in range(nsp):
+                rs = _section_python(
+                    ck[s * SEC:(s + 1) * SEC].astype(np.int64))
+                for a, r in zip(pr, rs):
+                    a[s * SEC_R:(s + 1) * SEC_R] = r
     route_l = [[] for _ in range(5)]
-    bpos = ppos = 0
-    for is_pair, nsec_c in chunk_is_pair:
-        if is_pair:
+    bpos = cpos = 0
+    for kind, nsec_c in chunk_kinds:
+        if kind == "comp":
             for i in range(5):
-                route_l[i].append(pr[i][ppos * ROWS:(ppos + nsec_c) * ROWS])
-            ppos += nsec_c
+                route_l[i].append(pr[i][cpos * ROWS:(cpos + nsec_c) * ROWS])
+            cpos += nsec_c
         else:
             src_rows = (base.wa, base.wb, base.sstart, base.wa2, base.wb2)
             for i in range(5):
@@ -1034,6 +1106,7 @@ def _build_plan_paired(src, dst, n, m, nmid, perm, t0, win=None,
     lm = np.concatenate(lm_l)
     lm2 = np.concatenate(lm2_l)
     pm = np.concatenate(pm_l)
+    qm = np.concatenate(qm_l)
     nslots = nblocks * BLK
     nsec = nslots // SEC
     nx = (max(int(sb.max()) + base.nslices, -(-n // SLICE) + 1)) * SLICE
@@ -1050,12 +1123,16 @@ def _build_plan_paired(src, dst, n, m, nmid, perm, t0, win=None,
         lm=lm if lm.any() else None,
         lm2=lm2 if lm2.any() else None,
         wt2=np.concatenate(wt2_l) if base.wt2 is not None else None,
-        pm=pm, widx2=np.concatenate(widx2_l),
+        pm=pm if pm.any() else None,
+        widx2=np.concatenate(widx2_l),
+        qm=qm if qm.any() else None,
+        widx3=np.concatenate(widx3_l) if has_quads else None,
+        widx4=np.concatenate(widx4_l) if has_quads else None,
     )
     logger.info(
-        "EdgePlan (paired): m=%d pairs=%d slots=%d (%.1f%% vs unpaired "
-        "est) mids=%d sections=%d in %.2fs", m, s1.size, nslots,
-        100.0 * nslots / max(1, nslots + s1.size), nmid, nsec,
+        "EdgePlan (compressed): m=%d quads=%d pairs=%d slots=%d "
+        "(%.3f slots/edge) mids=%d sections=%d in %.2fs", m,
+        q.shape[1], s1.size, nslots, nslots / max(1, m), nmid, nsec,
         time.perf_counter() - t0)
     return plan
 

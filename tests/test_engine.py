@@ -1203,3 +1203,127 @@ def test_plan_paired_roundtrip(monkeypatch, tmp_path):
     np.testing.assert_array_equal(p2.widx2, p.widx2)
     np.testing.assert_array_equal(p2.widx, p.widx)
     assert p2.nslots == p.nslots and p2.win == p.win
+
+
+# ---------------------------------------------------------------------------
+# Hub-quad plans (plan v11)
+
+
+def test_split_quads_model(monkeypatch):
+    """split_quads partitions every edge exactly once; quads have all
+    four sources below HUB and one common destination; leftover run
+    remainders (count % 4) stay in rest."""
+    import graph_tpu.engine.pair as pairmod
+
+    monkeypatch.setattr(pairmod, "MIN_QUADS", 2)
+    monkeypatch.setattr(pairmod, "HUB", 64)
+    r = np.random.default_rng(29)
+    src = r.integers(0, 150, 4000).astype(np.int64)
+    dst = r.integers(0, 150, 4000).astype(np.int64)
+    q, d, rs, rd = pairmod.split_quads(src, dst, 150)
+    assert q.shape[0] == 4 and d.size == q.shape[1]
+    assert (q < 64).all()
+    all_src = np.concatenate([q.reshape(-1), rs])
+    all_dst = np.concatenate([np.tile(d, 4), rd])
+    key = lambda a, b: np.sort(a * 1000 + b)
+    np.testing.assert_array_equal(key(all_src, all_dst), key(src, dst))
+    hub_cnt = np.bincount(dst[src < 64], minlength=150)
+    rest_hub_cnt = np.bincount(rd[rs < 64], minlength=150)
+    assert ((hub_cnt % 4) <= rest_hub_cnt).all()
+
+
+def test_quad_place_native_matches_python():
+    from graph_tpu.engine.native_route import quad_place_native
+    from graph_tpu.engine.pair import place_mid_quads
+
+    r = np.random.default_rng(31)
+    nq = 3000
+    q = r.integers(0, 32768, (4, nq)).astype(np.int64)
+    dstl = r.integers(0, MID, nq).astype(np.int64)
+    res = quad_place_native(q, dstl)
+    if res is None:
+        pytest.skip("no native toolchain")
+    res_p = place_mid_quads(q, dstl)
+    for a, b in zip(res, res_p):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_quad_layout_decodes_to_input():
+    """Decode placed quad tiles back to source/dst multisets."""
+    from graph_tpu.engine.pair import quad_mid_layout
+
+    r = np.random.default_rng(37)
+    nq = 2000
+    q = r.integers(0, 4000, (4, nq)).astype(np.int64)
+    dstl = r.integers(0, MID, nq).astype(np.int64)
+    w1, w2, w3, w4, keys, nblocks = quad_mid_layout(q, dstl)
+    assert keys.size % SEC == 0 and nblocks * 16 * TILE == keys.size
+    real = keys != MID
+    real[np.arange(0, keys.size, SEC)] = False
+    assert real.sum() == nq
+    ws = [a.astype(np.int64).reshape(-1, TILE) for a in (w1, w2, w3, w4)]
+    got = []
+    for t in range(ws[0].shape[0]):
+        for p in np.nonzero(real[t * TILE:(t + 1) * TILE])[0]:
+            row = p // 128
+            srcs = []
+            for wk in ws:
+                lk = wk[t, p] & 127
+                bk = (wk[t, row * 128 + lk] >> 7) & 255
+                srcs.append(bk * 128 + lk)
+            got.append(tuple(sorted(srcs)) + (keys[t * TILE + p],))
+    exp = sorted(tuple(sorted(q[:, i])) + (dstl[i],) for i in range(nq))
+    assert sorted(got) == exp
+
+
+def test_plan_quad_engine_exact(monkeypatch):
+    """A quad plan (qm/widx3/widx4) must match the uncompressed plan
+    bit for bit on spmv/smin/smin_int and roundtrip through save/load."""
+    import jax.numpy as jnp
+
+    import graph_tpu.engine.pair as pairmod
+    from graph_tpu.engine.engine import EdgeEngine
+    from graph_tpu.engine.plan import EdgePlan
+
+    monkeypatch.setattr(pairmod, "MIN_PAIRS", 4)
+    monkeypatch.setattr(pairmod, "MIN_QUADS", 4)
+    r = np.random.default_rng(41)
+    n, m = 3000, 30000
+    src = (r.zipf(1.25, m) % n).astype(np.int64)
+    dst = r.integers(0, n, m).astype(np.int64)
+    p0 = build_plan(src, dst, n, relabel="degree", pair=False)
+    p1 = build_plan(src, dst, n, relabel="degree", pair=True)
+    assert p1.qm is not None and p1.qm.any()
+    assert p1.widx3 is not None and p1.widx4 is not None
+    e0 = EdgeEngine(p0, interpret=True)
+    e1 = EdgeEngine(p1, interpret=True)
+    assert any(mode == "quad" for _, mode in e1.k1_cls)
+    x = (r.random(n) * 1e-3).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(e0.spmv(jnp.asarray(x))),
+                                  np.asarray(e1.spmv(jnp.asarray(x))))
+    xm = r.random(n).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(e0.smin(jnp.asarray(xm))),
+                                  np.asarray(e1.smin(jnp.asarray(xm))))
+    xi = r.integers(0, 1 << 30, n).astype(np.int32)
+    np.testing.assert_array_equal(
+        np.asarray(e0.smin_int(jnp.asarray(xi))),
+        np.asarray(e1.smin_int(jnp.asarray(xi))))
+
+
+def test_plan_quad_roundtrip(monkeypatch, tmp_path):
+    import graph_tpu.engine.pair as pairmod
+    from graph_tpu.engine.plan import EdgePlan
+
+    monkeypatch.setattr(pairmod, "MIN_PAIRS", 4)
+    monkeypatch.setattr(pairmod, "MIN_QUADS", 4)
+    r = np.random.default_rng(43)
+    n, m = 3000, 30000
+    src = (r.zipf(1.25, m) % n).astype(np.int64)
+    dst = r.integers(0, n, m).astype(np.int64)
+    p = build_plan(src, dst, n, relabel="degree", pair=True)
+    assert p.qm is not None
+    path = str(tmp_path / "p.npz")
+    p.save(path)
+    p2 = EdgePlan.load(path)
+    for f in ("qm", "widx3", "widx4", "pm", "widx2", "widx"):
+        np.testing.assert_array_equal(getattr(p2, f), getattr(p, f))
