@@ -359,6 +359,40 @@ def bench_all():
                    "max_node_id_s": round(max_id_s, 4),
                    "max_node_id": max_id}})
 
+    # ---- IO micro-bench (reference bar: criterion edgelist.rs +
+    # dotgraph.rs — parse MB/s and label-stat build times)
+    import tempfile
+
+    from graph_tpu.io.edgelist import EdgeListInput
+
+    nio = 1 << 16
+    io_src, io_dst = cached_rmat(16)
+    fd, el_path = tempfile.mkstemp(suffix=".el")
+    with os.fdopen(fd, "w") as f:
+        f.writelines(f"{s} {d}\n" for s, d in zip(io_src, io_dst))
+    el_bytes = os.path.getsize(el_path)
+    best_el = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        EdgeListInput().read(el_path)
+        best_el = min(best_el, time.perf_counter() - t0)
+    os.unlink(el_path)
+    phases = {"bytes": el_bytes, "parse_s": round(best_el, 4),
+              "edges": int(io_src.size)}
+    graph_file = "/root/reference/resources/example.graph"
+    if os.path.exists(graph_file):
+        from graph_tpu.io.dotgraph import read_dotgraph
+
+        t0 = time.perf_counter()
+        dg = read_dotgraph(graph_file)
+        dg.max_label_frequency()
+        phases["dotgraph_label_stats_s"] = round(
+            time.perf_counter() - t0, 4)
+    lines.append({
+        "metric": "edgelist_parse_mbps",
+        "value": round(el_bytes / best_el / 1e6, 1), "unit": "MB/s",
+        "phases": phases})
+
     # ---- triangle count (distinct, DEDUPLICATED) via device sort-join
     tc_scale = int(os.environ.get("BENCH_TC_SCALE", "18"))
     from graph_tpu.algos.triangle_count import global_triangle_count

@@ -208,7 +208,17 @@ def quad_mid_layout(q, dstl, native=True):
 
     Returns (w1, w2, w3, w4, keys, nblocks); same section/lead
     conventions as :func:`pair_mid_layout`.
+
+    Quads are placed in ascending max-table-row order: the slot order
+    within a mid is free (K2's routes absorb it), and grouping
+    small-row quads into the same tiles lets those K1 blocks class at
+    windows far below the 32768 hub cap (the engine's per-block window
+    classes, engine._k1_classes) instead of every block paying the
+    32-group window loop.
     """
+    if q.shape[1]:
+        o = np.argsort(q.max(axis=0) >> 7, kind="stable")
+        q, dstl = q[:, o], dstl[o]
     res = None
     if q.shape[1] and native:
         from graph_tpu.engine.native_route import quad_place_native
@@ -353,7 +363,14 @@ def pair_mid_layout(s1, s2, dstl, sec_phase=0, native=True):
     keys, nblocks): the region spans nblocks K1 blocks, a multiple of
     SEC // BLK.  ``native=False`` forces the pure-python placement
     (tests compare the two bit-for-bit).
+
+    Pairs are placed in ascending max-table-row order (see
+    :func:`quad_mid_layout`) so small-row pair blocks class below the
+    32768 hub window.
     """
+    if s1.size:
+        o = np.argsort(np.maximum(s1, s2) >> 7, kind="stable")
+        s1, s2, dstl = s1[o], s2[o], dstl[o]
     res = None
     if s1.size and native:
         from graph_tpu.engine.native_route import pair_place_native

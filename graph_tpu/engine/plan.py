@@ -112,7 +112,9 @@ class EdgePlan:
     def nsrc(self) -> int:
         return self.n_src or self.n
 
-    FORMAT_VERSION = 11  # v11: hub-quad blocks (qm/widx3/widx4);
+    FORMAT_VERSION = 12  # v12: max-row-sorted pair/quad placement
+    # (small-window compressed classes);
+    # v11: hub-quad blocks (qm/widx3/widx4);
     # v10: hub-pair blocks (pm/widx2);
     # v9: two-table lanemap (lm2/wt2) + 9-bit
     # tables for win-65536 plans;

@@ -184,6 +184,7 @@ def test_wcc(g):
 # -- triangle_count_test.py analogs ------------------------------------------
 
 
+@pytest.mark.slow
 def test_triangle_count_golden(scale8_path):
     # exact mate flow: Sorted fixture + make_degree_ordered (the shared
     # fixture mutation in the reference suite) -> 227,874

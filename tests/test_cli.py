@@ -26,6 +26,7 @@ def test_wcc_cli(test_el_path):
     assert run(["wcc", "-p", test_el_path, "-r", "1", "-w", "0"]) == 0
 
 
+@pytest.mark.slow
 def test_triangle_count_cli(scale8_path):
     assert run([
         "triangle-count", "-p", scale8_path, "-f", "graph500",

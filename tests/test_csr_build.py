@@ -158,6 +158,7 @@ def test_int64_ids_end_to_end():
         assert comps[3] == 3 and comps[4] == comps[3] or comps[4] == 4
 
 
+@pytest.mark.slow
 def test_deduplicated_build_traces_under_jit():
     """VERDICT round-2 weak #8: DEDUPLICATED builds must trace (padded
     sentinel-tail formulation) — same offsets as the eager exact build,

@@ -67,6 +67,7 @@ def test_sharded_wcc_two_components(mesh):
     assert c[1] != c[2]
 
 
+@pytest.mark.slow
 def test_graft_entry_single_and_multi():
     import __graft_entry__ as ge
     import jax
@@ -322,6 +323,7 @@ def test_wcc_jump_every_matches(graph, mesh):
                                   every.components_np())
 
 
+@pytest.mark.slow
 def test_sharded_triangle_count_matches_single(mesh):
     """Wedge-partitioned TC over the mesh == single-device counts,
     including the scale-8 SORTED multiset golden 227,874

@@ -109,6 +109,7 @@ def test_compute_wcc_unit_and_sssp(client):
     assert dist[0] == 0.0
 
 
+@pytest.mark.slow
 def test_to_undirected_and_triangle_count(client):
     do(client, "create", {
         "graph_name": "t",

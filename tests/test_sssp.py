@@ -1,6 +1,7 @@
 """Delta-stepping SSSP tests (reference: sssp.rs:283-313 golden)."""
 
 import numpy as np
+import pytest
 
 from graph_tpu import DeltaSteppingConfig, GraphBuilder, delta_stepping
 from graph_tpu.algos.sssp import INF
@@ -135,6 +136,7 @@ def test_sssp_frontier_matches_xla_on_grid():
     assert np.array_equal(r_f.distances_np(), r_x.distances_np())
 
 
+@pytest.mark.slow
 def test_sssp_auto_picks_frontier_on_low_degree_large_graph():
     """engine="auto" routes large low-max-degree graphs (grids/roads)
     to the compacted-frontier engine, and hubby graphs away from it."""

@@ -66,6 +66,7 @@ def test_tc_scale8_golden(scale8_path):
     assert global_triangle_count(g).triangles == 227874
 
 
+@pytest.mark.slow
 def test_tc_scale8_distinct(scale8_path):
     # distinct-triangle count on the DEDUPLICATED graph (the CLI path);
     # host truth via trace(A^3)/6 = 10,508.
@@ -99,6 +100,7 @@ def test_tc_crosses_block_boundary():
     assert global_triangle_count(g).triangles == 1
 
 
+@pytest.mark.slow
 def test_tc_random_vs_host():
     rng = np.random.default_rng(7)
     n, m = 300, 2000
@@ -115,6 +117,7 @@ def test_tc_random_vs_host():
     assert global_triangle_count(g).triangles == expected
 
 
+@pytest.mark.slow
 def test_sortjoin_matches_numpy_reference_rmat():
     """Cross-check the sort-join pipeline against a brute-force host
     count on a scale-12 RMAT graph (hubs exercise chunk splitting and
