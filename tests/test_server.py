@@ -201,3 +201,44 @@ def test_server_process_honors_plan_cache(tmp_path, monkeypatch):
     assert len(os.listdir(cache)) == 1
     EdgeEngine.build(src, dst, 4, interpret=True)
     assert len(os.listdir(cache)) == 1  # cache hit, no second snapshot
+
+
+def test_examples_run_against_server():
+    """The shipped examples/ clients drive the server end to end
+    (reference bar: crates/server/examples/*.py are runnable demos)."""
+    import os
+    import sys
+
+    from graph_tpu.server.flight import GraphFlightServer
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "examples"))
+    try:
+        import common as excommon
+    finally:
+        sys.path.pop(0)
+
+    server = GraphFlightServer("grpc://localhost:0")
+    try:
+        c = excommon.connect(f"grpc://localhost:{server.port}")
+        path = excommon._tiny_graph(weighted=False, scale=6, ef=4)
+        r = excommon.action(c, "create", {
+            "graph_name": "exdemo", "file_format": "EdgeList",
+            "path": path, "csr_layout": "Sorted",
+            "orientation": "Directed",
+        })
+        assert r["edge_count"] > 0
+        rr = excommon.action(c, "compute", {
+            "graph_name": "exdemo",
+            "algorithm": {"PageRank": {"max_iterations": 5,
+                                       "tolerance": 1e-4,
+                                       "damping_factor": 0.85}},
+            "property_key": "page_rank",
+        })
+        table = excommon.fetch_property(c, rr["property_id"])
+        assert len(table.column("page_rank")) == r["node_count"]
+        excommon.action(c, "remove", {"graph_name": "exdemo"})
+        os.unlink(path)
+        c.close()
+    finally:
+        server.shutdown()
