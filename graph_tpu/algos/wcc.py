@@ -229,6 +229,9 @@ def _wcc_plan(graph) -> WccResult:
     use an n-sized XLA gather (cheap relative to the m-sized hook).
     """
     n = graph.node_count
+    from graph_tpu.dtypes import check_node_count_fits
+
+    check_node_count_fits(n, np.int32)  # labels are int32 node ids
     eng = _sym_engine(graph)
 
     run = getattr(eng, "_wcc_run", None)
