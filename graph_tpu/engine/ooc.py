@@ -182,6 +182,52 @@ class OocEdgeEngine:
             del dev, contrib, y_mids  # release the slab's HBM
         return y
 
+    def smin_int(self, x):
+        """y[d] = min over edges (s -> d) of int32 x[s], slab-streamed.
+
+        Empty rows get 2**31-1.  Bit-exact vs EdgeEngine.smin_int."""
+        import jax.numpy as jnp
+
+        from graph_tpu.engine.kernels import IMAX
+
+        x = jnp.asarray(x, jnp.int32)
+        y = np.full(self.n, IMAX, np.int32)
+        for sl, eng in zip(self.slabs, self._engines):
+            dev = self._slab_dev(sl, eng)
+            xp = jnp.full(sl.plan.nx, IMAX, jnp.int32).at[: self.n].set(x)
+            contrib = eng._k1(dev, xp, pair_op="min")
+            y_mids = eng._k2(dev, contrib, "imin")
+            y[sl.d0: sl.d0 + sl.rows] = np.asarray(
+                y_mids.reshape(-1)[: sl.rows])
+            del dev, contrib, y_mids
+        return y
+
+
+def wcc_ooc(src, dst, n: int, *, max_bytes: Optional[int] = None,
+            n_slabs: Optional[int] = None, interpret: bool = False):
+    """Weakly connected components on an out-of-core graph.
+
+    Min-label propagation with pointer jumping (same algorithm as
+    algos/wcc.py plan path) over slab-streamed symmetrized edges;
+    labels are int32 node ids, host-resident between rounds.  Returns
+    the (n,) component labels.
+    """
+    from graph_tpu.dtypes import check_node_count_fits
+
+    check_node_count_fits(n, np.int32)
+    sym_src = np.concatenate([np.asarray(src), np.asarray(dst)])
+    sym_dst = np.concatenate([np.asarray(dst), np.asarray(src)])
+    eng = OocEdgeEngine.build(sym_src, sym_dst, n, max_bytes=max_bytes,
+                              n_slabs=n_slabs, interpret=interpret)
+    comp = np.arange(n, dtype=np.int32)
+    while True:
+        new = np.minimum(comp, eng.smin_int(comp))
+        new = new[new]  # pointer jump (squares chains)
+        new = new[new]
+        if np.array_equal(new, comp):
+            return comp
+        comp = new
+
 
 def page_rank_ooc(src, dst, n: int, *, max_iterations: int = 20,
                   damping: float = 0.85, tolerance: float = 1e-4,

@@ -72,3 +72,25 @@ def test_ooc_pagerank_matches_host_model():
     # resident engine); sums must agree with the model, not with 1.0
     np.testing.assert_allclose(scores.sum(), s.sum(), atol=1e-4)
     assert it == 8
+
+
+def test_ooc_wcc_matches_host_model():
+    from graph_tpu.engine.ooc import wcc_ooc
+
+    # several components: disjoint rings plus random chords inside them
+    r = np.random.default_rng(17)
+    n = 120_000
+    parts = 4
+    size = n // parts
+    src_l, dst_l = [], []
+    for p in range(parts):
+        base = p * size
+        ids = np.arange(base, base + size)
+        src_l += [ids, ids]
+        dst_l += [np.roll(ids, 1), base + r.integers(0, size, size)]
+    src = np.concatenate(src_l).astype(np.int64)
+    dst = np.concatenate(dst_l).astype(np.int64)
+    comp = wcc_ooc(src, dst, n, n_slabs=2, interpret=True)
+    # every node's label == its partition's min node id
+    expected = (np.arange(n) // size) * size
+    np.testing.assert_array_equal(comp, expected)
