@@ -83,7 +83,7 @@ class OocEdgeEngine:
                     (ls, rs) for ls, rs, _ in eng.k2_classes)
 
     @classmethod
-    def build(cls, src, dst, n: int,
+    def build(cls, src, dst, n: int, values=None,
               max_bytes: Optional[int] = None,
               n_slabs: Optional[int] = None,
               interpret: bool = False) -> "OocEdgeEngine":
@@ -93,6 +93,7 @@ class OocEdgeEngine:
         GiB — comfortably inside one v5e core's HBM next to x/y).
         Slab boundaries are mid-aligned (the K2 grid reduces whole
         mids).  ``n_slabs`` overrides the computed slab count.
+        ``values``: optional (m,) edge weights — enables :meth:`relax`.
         """
         from graph_tpu.engine.plan import build_plan
 
@@ -111,6 +112,8 @@ class OocEdgeEngine:
         # edge counts (power-law dsts skew; equal mid counts would not)
         order = np.argsort(dst, kind="stable")
         src_s, dst_s = src[order], dst[order]
+        val_s = (None if values is None
+                 else np.asarray(values, np.float32)[order])
         mid_bounds = np.searchsorted(dst_s, np.arange(nmid + 1) * MID)
         per_mid = np.diff(mid_bounds)
         target = m / n_slabs
@@ -131,7 +134,10 @@ class OocEdgeEngine:
             d0 = mlo * MID
             rows = min(mhi * MID, n) - d0
             plan = build_plan(src_s[elo:ehi], dst_s[elo:ehi] - d0,
-                              rows, n_src=n, pair=False)
+                              rows,
+                              values=None if val_s is None
+                              else val_s[elo:ehi],
+                              n_src=n, pair=False)
             slabs.append(_Slab(d0=d0, rows=rows, plan=plan))
         eng = cls(slabs, n=n, m=m, interpret=interpret)
         logger.info(
@@ -182,6 +188,30 @@ class OocEdgeEngine:
             del dev, contrib, y_mids  # release the slab's HBM
         return y
 
+    def relax(self, dist):
+        """y[d] = min over weighted edges (s -> d) of dist[s] + w,
+        slab-streamed (one Bellman-Ford relaxation round).  Requires
+        the engine to have been built with edge ``values``."""
+        import jax.numpy as jnp
+
+        from graph_tpu.engine.kernels import INF, INF_BITS
+
+        if self.slabs and self.slabs[0].plan.weights is None:
+            raise ValueError("relax needs an engine built with values")
+        dist = jnp.asarray(dist, jnp.float32)
+        y = np.full(self.n, INF, np.float32)
+        for sl, eng in zip(self.slabs, self._engines):
+            dev = self._slab_dev(sl, eng)
+            xp = jnp.full(sl.plan.nx, INF, jnp.float32).at[
+                : self.n].set(dist)
+            contrib = eng._k1(dev, xp, weights=dev["weights"],
+                              combine="add")
+            y_mids = eng._k2(dev, contrib, "min")
+            yb = np.asarray(y_mids.reshape(-1)[: sl.rows]).view(np.float32)
+            y[sl.d0: sl.d0 + sl.rows] = yb
+            del dev, contrib, y_mids
+        return y
+
     def smin_int(self, x):
         """y[d] = min over edges (s -> d) of int32 x[s], slab-streamed.
 
@@ -227,6 +257,30 @@ def wcc_ooc(src, dst, n: int, *, max_bytes: Optional[int] = None,
         if np.array_equal(new, comp):
             return comp
         comp = new
+
+
+def sssp_ooc(src, dst, values, n: int, start_node: int = 0, *,
+             max_bytes: Optional[int] = None,
+             n_slabs: Optional[int] = None, interpret: bool = False):
+    """Single-source shortest paths on an out-of-core weighted graph.
+
+    Bellman-Ford to fixpoint with slab-streamed relaxation rounds
+    (host-resident distances between rounds; same semantics as the
+    plan engine's SSSP path).  Returns the (n,) float32 distances,
+    unreached nodes at the engine's +inf stand-in (~3e38).
+    """
+    from graph_tpu.engine.kernels import INF
+
+    eng = OocEdgeEngine.build(src, dst, n, values=values,
+                              max_bytes=max_bytes, n_slabs=n_slabs,
+                              interpret=interpret)
+    dist = np.full(n, INF, np.float32)
+    dist[start_node] = 0.0
+    while True:
+        new = np.minimum(dist, eng.relax(dist))
+        if np.array_equal(new, dist):
+            return dist
+        dist = new
 
 
 def page_rank_ooc(src, dst, n: int, *, max_iterations: int = 20,

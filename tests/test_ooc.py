@@ -94,3 +94,25 @@ def test_ooc_wcc_matches_host_model():
     # every node's label == its partition's min node id
     expected = (np.arange(n) // size) * size
     np.testing.assert_array_equal(comp, expected)
+
+
+def test_ooc_sssp_matches_host_model():
+    from graph_tpu.engine.ooc import sssp_ooc
+
+    r = np.random.default_rng(23)
+    n, m = 100_000, 400_000
+    src = r.integers(0, n, m).astype(np.int64)
+    dst = r.integers(0, n, m).astype(np.int64)
+    w = (r.random(m) * 4).astype(np.float32)
+    dist = sssp_ooc(src, dst, w, n, n_slabs=2, interpret=True)
+    # host Bellman-Ford (float32 adds to match the kernel arithmetic)
+    exp = np.full(n, np.float32(3.0e38), np.float32)
+    exp[0] = 0.0
+    while True:
+        cand = (exp[src] + w).astype(np.float32)
+        new = exp.copy()
+        np.minimum.at(new, dst, cand)
+        if np.array_equal(new, exp):
+            break
+        exp = new
+    np.testing.assert_array_equal(dist, exp)
