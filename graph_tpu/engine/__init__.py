@@ -21,4 +21,21 @@ design.
 
 from graph_tpu.engine.route import clos_route, clos_apply_reference
 
-__all__ = ["clos_route", "clos_apply_reference"]
+__all__ = ["clos_route", "clos_apply_reference", "EdgeEngine",
+           "EdgePlan", "OocEdgeEngine"]
+
+
+def __getattr__(name):  # lazy: engine/ooc pull in jax at import time
+    if name == "EdgeEngine":
+        from graph_tpu.engine.engine import EdgeEngine
+
+        return EdgeEngine
+    if name == "EdgePlan":
+        from graph_tpu.engine.plan import EdgePlan
+
+        return EdgePlan
+    if name == "OocEdgeEngine":
+        from graph_tpu.engine.ooc import OocEdgeEngine
+
+        return OocEdgeEngine
+    raise AttributeError(name)
