@@ -1327,3 +1327,29 @@ def test_plan_quad_roundtrip(monkeypatch, tmp_path):
     p2 = EdgePlan.load(path)
     for f in ("qm", "widx3", "widx4", "pm", "widx2", "widx"):
         np.testing.assert_array_equal(getattr(p2, f), getattr(p, f))
+
+
+def test_plan_quad_all_edges_quad_empty_rest(monkeypatch):
+    """A graph where EVERY edge quads (rest empty): the base layout
+    degenerates to pad sections and the spmv stays exact."""
+    import jax.numpy as jnp
+
+    import graph_tpu.engine.pair as pairmod
+    from graph_tpu.engine.engine import EdgeEngine
+
+    monkeypatch.setattr(pairmod, "MIN_PAIRS", 1)
+    monkeypatch.setattr(pairmod, "MIN_QUADS", 1)
+    n = 512
+    dst = np.repeat(np.arange(n), 4).astype(np.int64)
+    src = np.tile(np.arange(4), n).astype(np.int64)
+    p = build_plan(src, dst, n, relabel="degree", pair=True)
+    assert p.qm is not None and p.qm.any()
+    e = EdgeEngine(p, interpret=True)
+    x = np.random.default_rng(0).random(n).astype(np.float32) * 1e-3
+    y = np.asarray(e.spmv(jnp.asarray(x)))
+    q = np.round(x * np.float32(1 << 30)).astype(np.int64)
+    acc = np.zeros(n, np.int64)
+    np.add.at(acc, dst, q[src])
+    np.testing.assert_array_equal(
+        y, (acc.astype(np.int32).astype(np.float32)
+            / np.float32(1 << 30)))
