@@ -1353,3 +1353,36 @@ def test_plan_quad_all_edges_quad_empty_rest(monkeypatch):
     np.testing.assert_array_equal(
         y, (acc.astype(np.int32).astype(np.float32)
             / np.float32(1 << 30)))
+
+
+def test_k1_classes_compressed_windows(monkeypatch):
+    """Compressed (pair/quad) blocks class by their own table maxes —
+    sorted placement must yield at least one class strictly below the
+    32768 hub cap, and every class window must cover its blocks'
+    largest table entry."""
+    import graph_tpu.engine.pair as pairmod
+    from graph_tpu.engine.engine import _k1_classes
+
+    monkeypatch.setattr(pairmod, "MIN_PAIRS", 4)
+    monkeypatch.setattr(pairmod, "MIN_QUADS", 4)
+    r = np.random.default_rng(47)
+    n, m = 6000, 60000
+    src = (r.zipf(1.2, m) % n).astype(np.int64)
+    dst = r.integers(0, n, m).astype(np.int64)
+    p = build_plan(src, dst, n, relabel="degree", pair=True)
+    assert p.qm is not None
+    classes = _k1_classes(p)
+    comp_wins = [w for w, mode, _ in classes if mode in ("pair", "quad")]
+    assert comp_wins, classes
+    assert min(comp_wins) < 32768, classes
+    widx = p.widx.astype(np.int64)
+    for w, mode, border in classes:
+        if mode not in ("pair", "quad"):
+            continue
+        streams = [widx, p.widx2.astype(np.int64)]
+        if mode == "quad":
+            streams += [p.widx3.astype(np.int64), p.widx4.astype(np.int64)]
+        for b in border.astype(np.int64):
+            rows = slice(b * 128, (b + 1) * 128)  # BLK//128 rows per block
+            tmax = max(int(((s[rows] >> 7) & 255).max()) for s in streams)
+            assert (tmax + 1) * 128 <= w, (b, mode, tmax, w)
