@@ -71,23 +71,24 @@ def _k1_classes(plan: EdgePlan):
                               t2max.reshape(-1, TPB).max(axis=1)) + 1
         blk_rows = np.where(lm2, lm2_rows, blk_rows)
     if pm.any() or qm.any():
-        # pair/quad blocks (plan v10/v11): 8-bit row tables (widx bits
-        # 7..14 each stream, bit 15 reserved zero); window need covers
-        # every stream of the block
+        # pair/quad blocks (plan v10/v11): row tables in widx bits
+        # 7..14 (8-bit, HUB <= 32768 — bit 15 reserved zero) or 7..15
+        # (9-bit, HUB = 65536); the 9-bit decode is correct for both;
+        # window need covers every stream of the block
         streams = [widx, plan.widx2.astype(np.int32)]
         if qm.any():
             streams += [plan.widx3.astype(np.int32),
                         plan.widx4.astype(np.int32)]
-        pamax = ((widx >> 7) & 255).reshape(-1, TILE).max(axis=1)
+        pamax = ((widx >> 7) & 511).reshape(-1, TILE).max(axis=1)
         for s in streams[1:]:
-            pamax = np.maximum(pamax, ((s >> 7) & 255)
+            pamax = np.maximum(pamax, ((s >> 7) & 511)
                                .reshape(-1, TILE).max(axis=1))
         pm_rows = pamax.reshape(-1, TPB).max(axis=1).astype(np.int64) + 1
         blk_rows = np.where(pm | qm, pm_rows, blk_rows)
     # 1024-granularity classes (ws starts are 1024-aligned): power-of-two
     # rounding cost up to 2x scan rows (e.g. 37 actual rows paid 64)
-    # (pair/quad blocks cap at their own 32768 hub window, not plan.win)
-    cap = np.where(pm | qm, 32768, plan.win)
+    # (pair/quad blocks cap at their own hub window, not plan.win)
+    cap = np.where(pm | qm, 65536, plan.win)
     need = np.maximum(1024, np.minimum(
         cap, ((blk_rows * 128 + 1023) // 1024) * 1024))
     # row-matched blocks: every slot's window row == 8*(widx>>10) + row

@@ -201,10 +201,10 @@ def _k1_kernel(border_ref, sb_ref, ws_ref, x_refs, widx_ref, out_ref,
             # (mode="pair") or FOUR (mode="quad") same-destination hub
             # edges; K1 gathers each source through an independent
             # lanemap stream (widx, widx2[, widx3, widx4] — each: slot
-            # window lane in bits 0..6, per-lane 8-bit row table in
-            # bits 7..14 — the HUB=32768 cutoff keeps table entries
-            # <= 255; bit 15 is reserved zero in
-            # pair streams) and emits their combine
+            # window lane in bits 0..6, per-lane row table in bits
+            # 7..14 (HUB <= 32768: entries <= 255, bit 15 reserved
+            # zero) or 7..15 (HUB = 65536 plans: 9-bit entries, win
+            # > 32768)) and emits their combine
             # (+ for sum plans, min for min plans — both associative
             # and commutative in the K2 accumulator domain, so results
             # stay bit-exact).  Halves the slot count K2 routes/scans
@@ -216,10 +216,11 @@ def _k1_kernel(border_ref, sb_ref, ws_ref, x_refs, widx_ref, out_ref,
                 if sref is not None:
                     streams.append(sref[pl.ds(t * 8, 8), :]
                                    .astype(jnp.int32))
+            tmask = 511 if win > 32768 else 255
             vals = []
             for sidx in streams:
                 slo = sidx & 127
-                A = (sidx >> 7) & 255
+                A = (sidx >> 7) & tmask
                 gA = A >> 3
                 u = jnp.zeros((8, 128), xs_ref.dtype)
                 for g in range(win // 1024):

@@ -31,8 +31,23 @@ from graph_tpu.engine.kernels import BLK, MID, SEC, TILE, TPB
 #: Internal source ids below HUB are pairing candidates; 32768 keeps
 #: the pair gather window at 2 x-slices and 8-bit row tables (measured
 #: sweet spot: win-65536 pair gathers cost 0.087 ns/slot vs 0.054,
-#: scripts/perf_k1_pair.py).
+#: scripts/perf_k1_pair.py).  $GRAPH_TPU_HUB overrides per process
+#: (max 65536 — 9-bit tables, widx bits 7..15); large sparse graphs
+#: (scale 24: hub-32768 covers only 37% of edges vs 54% at scale 22)
+#: trade the pricier wide-window gather for more compressed edges.
 HUB = 32768
+
+
+def effective_hub() -> int:
+    """HUB with the $GRAPH_TPU_HUB override (clamped to [1024, 65536])."""
+    import os
+
+    v = os.environ.get("GRAPH_TPU_HUB")
+    if not v:
+        return HUB
+    return max(1024, min(65536, int(v)))
+
+
 #: Skip pairing for mids with fewer pairs than this (the pair region
 #: pads to whole sections; tiny mids would pad more than they save).
 MIN_PAIRS = 2 * BLK
@@ -53,7 +68,7 @@ def split_pairs(src, dst, n):
     HUB, equal destination, mid with >= MIN_PAIRS pairs) and
     (rest_src, rest_dst) covering every other edge exactly once.
     """
-    hub = min(HUB, n)
+    hub = min(effective_hub(), n)
     hub_mask = src < hub
     hs, hd = src[hub_mask], dst[hub_mask]
     o = np.lexsort((hs, hd))
@@ -90,7 +105,7 @@ def split_quads(src, dst, n):
     covers every other edge exactly once (feed it to
     :func:`split_pairs` to pair the leftovers).
     """
-    hub = min(HUB, n)
+    hub = min(effective_hub(), n)
     hub_mask = src < hub
     hs, hd = src[hub_mask], dst[hub_mask]
     o = np.lexsort((hs, hd))

@@ -330,11 +330,14 @@ def plan_cache_path(cache_dir: str, src, dst, n: int, values=None,
 
     if pair is None:
         pair = _pair_default()
+    from graph_tpu.engine.pair import effective_hub
+
     h = hashlib.blake2b(digest_size=16)
     h.update(np.asarray([n, np.asarray(src).size, EdgePlan.FORMAT_VERSION,
                          win or 0, nslices or 0,
                          (1 if pair else 0)
-                         + (2 if pair and _quad_default() else 0)],
+                         + (2 if pair and _quad_default() else 0),
+                         effective_hub() if pair else 0],
                         np.int64).tobytes())
     # NUL separators: concatenated free-form strings must not collide
     # across fields (tag="degree" vs relabel="degree")

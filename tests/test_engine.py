@@ -1238,7 +1238,7 @@ def test_quad_place_native_matches_python():
 
     r = np.random.default_rng(31)
     nq = 3000
-    q = r.integers(0, 32768, (4, nq)).astype(np.int64)
+    q = r.integers(0, 65536, (4, nq)).astype(np.int64)  # 9-bit rows too
     dstl = r.integers(0, MID, nq).astype(np.int64)
     res = quad_place_native(q, dstl)
     if res is None:
@@ -1386,3 +1386,35 @@ def test_k1_classes_compressed_windows(monkeypatch):
             rows = slice(b * 128, (b + 1) * 128)  # BLK//128 rows per block
             tmax = max(int(((s[rows] >> 7) & 255).max()) for s in streams)
             assert (tmax + 1) * 128 <= w, (b, mode, tmax, w)
+
+
+def test_plan_hub65536_nine_bit_tables_exact(monkeypatch):
+    """$GRAPH_TPU_HUB=65536 plans carry 9-bit row tables (widx bits
+    7..15); the win>32768 kernel decode must stay bit-exact."""
+    import jax.numpy as jnp
+
+    import graph_tpu.engine.pair as pairmod
+    from graph_tpu.engine.engine import EdgeEngine, _k1_classes
+
+    monkeypatch.setattr(pairmod, "MIN_PAIRS", 4)
+    monkeypatch.setattr(pairmod, "MIN_QUADS", 4)
+    monkeypatch.setenv("GRAPH_TPU_HUB", "65536")
+    r = np.random.default_rng(53)
+    n, m = 70000, 90000
+    src = r.integers(0, n, m).astype(np.int64)
+    dst = r.integers(0, n, m).astype(np.int64)
+    p0 = build_plan(src, dst, n, relabel="degree", pair=False)
+    p1 = build_plan(src, dst, n, relabel="degree", pair=True)
+    comp = [(w, mo) for w, mo, _ in _k1_classes(p1)
+            if mo in ("pair", "quad")]
+    assert comp, "no compressed blocks"
+    assert any(w > 32768 for w, _ in comp), comp  # 9-bit entries used
+    e0 = EdgeEngine(p0, interpret=True)
+    e1 = EdgeEngine(p1, interpret=True)
+    x = (r.random(n) * 1e-4).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(e0.spmv(jnp.asarray(x))),
+                                  np.asarray(e1.spmv(jnp.asarray(x))))
+    xi = r.integers(0, 1 << 30, n).astype(np.int32)
+    np.testing.assert_array_equal(
+        np.asarray(e0.smin_int(jnp.asarray(xi))),
+        np.asarray(e1.smin_int(jnp.asarray(xi))))
