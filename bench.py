@@ -307,7 +307,7 @@ def bench_all():
 
     gg = build_directed(jnp.asarray(g_src), jnp.asarray(g_dst),
                         values=jnp.asarray(g_w), node_count=gn)
-    cfg = DeltaSteppingConfig(0, 2.0, engine="frontier")
+    cfg = DeltaSteppingConfig(0, 2.0)  # auto: plan sweeps on TPU
     delta_stepping(gg, cfg)  # warm (packs adjacency + compiles)
     best = float("inf")
     for _ in range(2):

@@ -278,19 +278,27 @@ def delta_stepping(
         return sssp_sharded(sg, mesh, config)
     engine = getattr(config, "engine", "auto")
     if engine == "auto":
-        # A low max degree on a large graph signals high diameter
-        # (grids, road networks): dense per-round edge sweeps there
-        # relax every edge ~diameter times, while the compacted
-        # frontier touches each edge O(1) times per bucket.  Power-law
-        # graphs always have hubs and never take this branch.
-        dmax = _max_out_degree(graph)
-        if (graph.node_count >= (1 << 16)
-                and 0 < dmax <= _FRONTIER_MAX_DEG
-                and (graph.node_count + 1) * dmax < (1 << 31)):
-            engine = "frontier"
+        if (graph.edge_count >= (1 << 21)
+                and jax.default_backend() == "tpu"):
+            # Plan-kernel dense sweeps win on TPU even at grid
+            # diameters (round 5, 1024x1024 grid: plan 1.21 s vs
+            # frontier 51.5 s — a dense pass costs ~0.6 ms so ~2000
+            # rounds are cheap, while each frontier settle step pays
+            # ~10 ms of composite small-op overhead on this backend).
+            engine = "plan"
         else:
-            engine = ("plan" if graph.edge_count >= (1 << 21)
-                      and jax.default_backend() == "tpu" else "xla")
+            # Off-TPU (or small graphs): a low max degree on a large
+            # graph signals high diameter (grids, road networks) —
+            # dense per-round sweeps there relax every edge ~diameter
+            # times, while the compacted frontier touches each edge
+            # O(1) times per bucket.
+            dmax = _max_out_degree(graph)
+            if (graph.node_count >= (1 << 16)
+                    and 0 < dmax <= _FRONTIER_MAX_DEG
+                    and (graph.node_count + 1) * dmax < (1 << 31)):
+                engine = "frontier"
+            else:
+                engine = "xla"
     if engine == "frontier":
         return _sssp_frontier(graph, config)
     if engine == "plan":
