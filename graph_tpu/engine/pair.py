@@ -28,14 +28,14 @@ import numpy as np
 
 from graph_tpu.engine.kernels import BLK, MID, SEC, TILE, TPB
 
-#: Internal source ids below HUB are pairing candidates; 32768 keeps
-#: the pair gather window at 2 x-slices and 8-bit row tables (measured
-#: sweet spot: win-65536 pair gathers cost 0.087 ns/slot vs 0.054,
-#: scripts/perf_k1_pair.py).  $GRAPH_TPU_HUB overrides per process
-#: (max 65536 — 9-bit tables, widx bits 7..15); large sparse graphs
-#: (scale 24: hub-32768 covers only 37% of edges vs 54% at scale 22)
-#: trade the pricier wide-window gather for more compressed edges.
-HUB = 32768
+#: Internal source ids below HUB are pairing candidates.  65536 is the
+#: uint16-encoding ceiling (9-bit row tables, widx bits 7..15) and the
+#: measured round-5 default: with SORTED placement most compressed
+#: blocks class far below the hub window anyway, so widening the hub
+#: is nearly free while covering more edges (scale 22: 8.27 -> 8.50
+#: GTEPS; scale 24, where hub-32768 covers only 37% of edges: 5.14 ->
+#: 5.33).  $GRAPH_TPU_HUB overrides per process (clamped to 65536).
+HUB = 65536
 
 
 def effective_hub() -> int:
