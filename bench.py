@@ -214,7 +214,7 @@ def bench_all():
 
         s = jax.lax.fori_loop(0, ITERS, body,
                               (scores0, scores0 * inv_outdeg))[0]
-        return permute(dev["iperm"], s) if "iperm" in dev else s
+        return eng.to_public_dev(dev, s) if "iperm" in dev else s
 
     pr_s, _ = _timed(pr_run, inv_outdeg, eng.dev)
     lines.append({
@@ -549,7 +549,7 @@ def main():
             s, _ = jax.lax.fori_loop(
                 0, ITERS, body, (scores0, scores0 * inv_outdeg))
             if "iperm" in dev:  # deliver scores in API node order
-                s = permute(dev["iperm"], s)
+                s = eng.to_public_dev(dev, s)
             return s
 
         dev = eng.dev

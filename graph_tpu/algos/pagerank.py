@@ -349,7 +349,7 @@ def _page_rank_logged(graph, config, engine: str) -> PageRankResult:
     if engine == "plan" and relabeled:
         from graph_tpu.engine.engine import permute
 
-        scores = permute(dev["iperm"], scores)
+        scores = eng.to_public_dev(dev, scores)
     scores.block_until_ready()
     micros = int((time.perf_counter() - start) * 1e6)
     return PageRankResult(scores=scores, ran_iterations=it, error=err,
@@ -432,7 +432,7 @@ def _page_rank_plan(graph: DirectedCsrGraph, config: PageRankConfig) -> PageRank
             (scores0, scores0 * inv_outdeg, jnp.int32(0), jnp.float32(jnp.inf)),
         )
         if relabeled:
-            scores = permute(dev["iperm"], scores)
+            scores = eng.to_public_dev(dev, scores)
         return scores, out_scores, iters, err
 
     if not hasattr(eng, "_pr_runs"):

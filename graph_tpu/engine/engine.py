@@ -216,7 +216,8 @@ class EdgeEngine:
     [0.125, 0.0, 0.75]
     """
 
-    def __init__(self, plan: EdgePlan, interpret: bool = False):
+    def __init__(self, plan: EdgePlan, interpret: bool = False,
+                 cache_dir=None, fast_permute: "bool | None" = None):
         self.plan = plan
         self.interpret = interpret
         self.dev = plan.device_arrays()
@@ -232,6 +233,66 @@ class EdgeEngine:
             self.dev["k2cls"] = jnp.asarray(cls_arr)
             self.k2_levels = tuple(
                 (ls, rs) for ls, rs, _ in self.k2_classes)
+        self._fp_in = self._fp_out = None
+        if plan.perm is not None:
+            if fast_permute is None:
+                import os
+
+                flag = os.environ.get("GRAPH_TPU_FAST_PERMUTE")
+                if flag is not None:
+                    fast_permute = flag == "1"
+                else:
+                    fast_permute = (plan.n >= (1 << 21) and not interpret
+                                    and jax.default_backend() == "tpu")
+            if fast_permute:
+                self._build_fast_permute(cache_dir)
+
+    def _build_fast_permute(self, cache_dir=None):
+        """Gather-plan permutes for the degree relabel (round 5).
+
+        ``permute`` costs a full device key-value sort (~14 ms at
+        scale 22 — 9% of the 20-iteration PageRank bench for ONE
+        output conversion).  A permutation is a gather with exactly
+        one in-edge per destination, so a tiny EdgePlan computes it
+        through the K1/K2 min path in ~1 ms, bit-exactly: a singleton
+        segment's min IS the element (any finite value < 3e38; int32
+        exactly).  Two plans: internal -> API order (out) and API ->
+        internal (in)."""
+        from graph_tpu.engine.plan import load_or_build_plan
+
+        n = self.plan.n
+        perm = self.plan.perm.astype(np.int64)
+        iperm = np.empty_like(perm)
+        iperm[perm] = np.arange(n, dtype=perm.dtype)
+        ar = np.arange(n, dtype=np.int64)
+        out_plan = load_or_build_plan(perm, ar, n, cache_dir=cache_dir,
+                                      pair=False)
+        in_plan = load_or_build_plan(iperm, ar, n, cache_dir=cache_dir,
+                                     pair=False)
+        self._fp_out = EdgeEngine(out_plan, interpret=self.interpret)
+        self._fp_in = EdgeEngine(in_plan, interpret=self.interpret)
+        self.dev["fp_out"] = self._fp_out.dev
+        self.dev["fp_in"] = self._fp_in.dev
+
+    def to_internal_dev(self, dev, x):
+        """x in API node order -> the plan's internal order.
+
+        Bit-exact for int32 and for f32 values of magnitude < 3e38
+        (the gather plan's singleton-min identity); falls back to the
+        sort-based :func:`permute` without a fast-permute plan."""
+        if self._fp_in is not None and "fp_in" in dev:
+            if x.dtype == jnp.int32:
+                return self._fp_in.smin_int_dev(dev["fp_in"], x)
+            return self._fp_in.smin_dev(dev["fp_in"], x)
+        return permute(dev["perm"], x)
+
+    def to_public_dev(self, dev, y):
+        """y in the plan's internal order -> API node order."""
+        if self._fp_out is not None and "fp_out" in dev:
+            if y.dtype == jnp.int32:
+                return self._fp_out.smin_int_dev(dev["fp_out"], y)
+            return self._fp_out.smin_dev(dev["fp_out"], y)
+        return permute(dev["iperm"], y)
 
     def _k1(self, dev, xp, weights=None, combine="none", pair_op="add"):
         """Chained per-window-class K1 calls (see :func:`_k1_classes`).
@@ -280,7 +341,7 @@ class EdgeEngine:
         return cls(load_or_build_plan(np.asarray(src), np.asarray(dst), n,
                                       values=values, colorer=colorer,
                                       cache_dir=cache_dir, relabel=relabel),
-                   interpret=interpret)
+                   interpret=interpret, cache_dir=cache_dir)
 
     def spmv(self, x: jax.Array, bound: float = 1.0) -> jax.Array:
         """y[d] = sum_{(s,d) in E} x[s]; x: (n,) f32 -> y: (n,) f32.
@@ -356,7 +417,7 @@ class EdgeEngine:
                                   internal=internal) * bound
         p = self.plan
         if not internal and "perm" in dev:
-            x = permute(dev["perm"], x)
+            x = self.to_internal_dev(dev, x)
         if reduce == "sum" and combine == "none":
             # Pre-quantize to fixed point at n granularity: K1 gathers
             # int32 quanta and K2 skips the per-slot round/mul/astype
@@ -371,7 +432,7 @@ class EdgeEngine:
             y = (y_mids.reshape(-1)[: p.n].astype(jnp.float32)
                  / jnp.float32(1 << FIXED_BITS))
             if not internal and "perm" in dev:
-                y = permute(dev["iperm"], y)
+                y = self.to_public_dev(dev, y)
             return y
         fill = 0.0 if reduce == "sum" else INF
         xp = jnp.full(p.nx, fill, jnp.float32).at[: p.nsrc].set(x)
@@ -385,7 +446,7 @@ class EdgeEngine:
         else:
             y = jax.lax.bitcast_convert_type(y, jnp.float32)
         if not internal and "perm" in dev:
-            y = permute(dev["iperm"], y)
+            y = self.to_public_dev(dev, y)
         return y
 
     def relax(self, dist: jax.Array) -> jax.Array:
@@ -425,13 +486,13 @@ class EdgeEngine:
 
         p = self.plan
         if not internal and "perm" in dev:
-            x = permute(dev["perm"], x)
+            x = self.to_internal_dev(dev, x)
         xp = jnp.full(p.nx, IMAX, jnp.int32).at[: p.nsrc].set(x)
         contrib = self._k1(dev, xp, pair_op="min")
         y_mids = self._k2(dev, contrib, "imin")
         y = y_mids.reshape(-1)[: p.n]
         if not internal and "perm" in dev:
-            y = permute(dev["iperm"], y)
+            y = self.to_public_dev(dev, y)
         return y
 
 

@@ -1418,3 +1418,45 @@ def test_plan_hub65536_nine_bit_tables_exact(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(e0.smin_int(jnp.asarray(xi))),
         np.asarray(e1.smin_int(jnp.asarray(xi))))
+
+
+def test_fast_permute_bitexact(monkeypatch):
+    """Gather-plan permutes (round 5) must match the sort-based
+    permute bit for bit: f32 incl. negatives and the 3e38 INF
+    stand-in, int32 incl. negatives."""
+    import jax.numpy as jnp
+
+    from graph_tpu.engine.engine import EdgeEngine, permute
+
+    monkeypatch.setenv("GRAPH_TPU_FAST_PERMUTE", "1")
+    n, m = 3000, 20000
+    src, dst = _random_graph(n, m, seed=61)
+    p = build_plan(src, dst, n, relabel="degree", pair=False)
+    eng = EdgeEngine(p, interpret=True)
+    assert eng._fp_in is not None and eng._fp_out is not None
+    r = np.random.default_rng(3)
+    x = ((r.random(n) - 0.5) * 100).astype(np.float32)
+    x[0] = np.float32(3.0e38)  # SSSP +inf stand-in
+    x[1] = 0.0
+    xd = jnp.asarray(x)
+    np.testing.assert_array_equal(
+        np.asarray(eng.to_internal_dev(eng.dev, xd)),
+        np.asarray(permute(eng.dev["perm"], xd)))
+    np.testing.assert_array_equal(
+        np.asarray(eng.to_public_dev(eng.dev, xd)),
+        np.asarray(permute(eng.dev["iperm"], xd)))
+    xi = jnp.asarray(r.integers(-(1 << 30), 1 << 30, n).astype(np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(eng.to_internal_dev(eng.dev, xi)),
+        np.asarray(permute(eng.dev["perm"], xi)))
+    np.testing.assert_array_equal(
+        np.asarray(eng.to_public_dev(eng.dev, xi)),
+        np.asarray(permute(eng.dev["iperm"], xi)))
+    # the public spmv path routes through them unchanged
+    xs = (r.random(n) * 1e-4).astype(np.float32)
+    y = np.asarray(eng.spmv(jnp.asarray(xs)))
+    q = np.round(xs * np.float32(1 << 30)).astype(np.int64)
+    acc = np.zeros(n, np.int64)
+    np.add.at(acc, dst, q[src])
+    np.testing.assert_array_equal(
+        y, acc.astype(np.int32).astype(np.float32) / np.float32(1 << 30))
