@@ -65,6 +65,7 @@ class OocEdgeEngine:
             eng.plan = sl.plan
             eng.interpret = interpret
             eng.dev = None  # host-resident: no resident device arrays
+            eng._fp_in = eng._fp_out = None  # rectangular: no relabel
             from graph_tpu.engine.engine import _k1_classes, _k2_classes
 
             eng.k1_cls = []
