@@ -304,7 +304,7 @@ def _page_rank_logged(graph, config, engine: str) -> PageRankResult:
         dev = eng.dev
         relabeled = "perm" in dev
         if relabeled:
-            inv_outdeg = jax.jit(permute)(dev["perm"], inv_outdeg)
+            inv_outdeg = jax.jit(eng.to_internal_dev)(dev, inv_outdeg)
 
         @jax.jit
         def step(dev, inv_outdeg, scores, out_scores, damping):
@@ -412,7 +412,7 @@ def _page_rank_plan(graph: DirectedCsrGraph, config: PageRankConfig) -> PageRank
         init = 1.0 / nf
         base = (1.0 - damping) / nf
         if relabeled:  # iterate in the plan's internal node order
-            outdeg = permute(dev["perm"], outdeg)
+            outdeg = eng.to_internal_dev(dev, outdeg)
         inv_outdeg = jnp.where(outdeg > 0, 1.0 / jnp.maximum(outdeg, 1.0), 0.0)
         scores0 = jnp.full((n,), init, jnp.float32)
 
